@@ -1,0 +1,142 @@
+"""On-device point-cloud metrics: Chamfer distance and approximate EMD.
+
+Replaces the reference's two external CUDA metric kernels:
+  - tk3dv ChamferDistance (reference caspr/utils/evaluations.py:23,40-43):
+    two-way squared nearest-neighbor distances.
+  - PyTorchEMD approxmatch (reference caspr/utils/emd.py:11-20): an
+    annealed proportional-assignment approximation of the earth mover's
+    distance (Fan et al., "A Point Set Generation Network...", CVPR 2017).
+
+Both are expressed as static-shape XLA programs; the pairwise-distance work
+is MXU/VPU friendly and batches are processed with lax.map to bound the
+(N x M) intermediate to a few frames at a time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .pointops import pairwise_sqdist
+
+
+def chamfer_distance(pred, gt):
+    """Two-way squared-NN distances.
+
+    pred: (B, N, 3), gt: (B, M, 3) -> (dist1 (B, N), dist2 (B, M)):
+    dist1[i] = min_j ||pred_i - gt_j||^2 and vice versa, matching the tk3dv
+    CUDA ChamferDistance used at reference caspr/utils/evaluations.py:40.
+    The caller takes per-cloud means and sums both directions
+    (evaluations.py:41-43).
+    """
+
+    def one(args):
+        p, g = args
+        d2 = pairwise_sqdist(p, g)  # (N, M)
+        return jnp.min(d2, axis=1), jnp.min(d2, axis=0)
+
+    return lax.map(one, (pred, gt))
+
+
+def _approx_match(xyz1, xyz2, num_iters_pow: int = 7):
+    """Annealed soft matching between two clouds.
+
+    xyz1: (N, 3), xyz2: (M, 3) -> match (N, M), rows ~ xyz1 points.
+
+    Follows the approxmatch algorithm of the PointSetGeneration /
+    PyTorchEMD kernel: temperatures anneal from extremely peaked
+    (level = -4^7, essentially nearest-neighbor assignment) to uniform
+    (level = 0), and at each round every unsaturated left point distributes
+    its remaining mass over right points proportionally to
+    exp(level * d^2) * remaining-right-capacity, then flows are rescaled so
+    no right point exceeds its capacity.  Capacities are max(N,M)/N on the
+    left and max(N,M)/M on the right so total mass matches.
+    """
+    n, m = xyz1.shape[0], xyz2.shape[0]
+    d2 = pairwise_sqdist(xyz1, xyz2)  # (N, M)
+    big = float(max(n, m))
+    factor_l = big / n
+    factor_r = big / m
+
+    def round_body(carry, level):
+        match, sat_l, sat_r = carry
+        # left points spread remaining mass by annealed affinity x right cap
+        w = jnp.exp(level * d2) * sat_r[None, :]  # (N, M)
+        w_sum = jnp.sum(w, axis=1, keepdims=True) + 1e-9
+        w = w * (sat_l[:, None] / w_sum)
+        # rescale so right capacities are not exceeded
+        col = jnp.sum(w, axis=0) + 1e-9
+        scale = jnp.minimum(sat_r / col, 1.0)
+        w = w * scale[None, :]
+        match = match + w
+        sat_l = jnp.maximum(sat_l - jnp.sum(w, axis=1), 0.0)
+        sat_r = jnp.maximum(sat_r - jnp.sum(w, axis=0), 0.0)
+        return (match, sat_l, sat_r), None
+
+    levels = jnp.concatenate(
+        [
+            -jnp.power(4.0, jnp.arange(num_iters_pow, -2, -1, dtype=d2.dtype)),
+            jnp.zeros((1,), d2.dtype),
+        ]
+    )
+    init = (
+        jnp.zeros_like(d2),
+        jnp.full((n,), factor_l, d2.dtype),
+        jnp.full((m,), factor_r, d2.dtype),
+    )
+    (match, _, _), _ = lax.scan(round_body, init, levels)
+    return match
+
+
+def _match_cost(xyz1, xyz2, match):
+    """sum_ij match_ij * ||xyz1_i - xyz2_j|| (euclidean, not squared)."""
+    d2 = pairwise_sqdist(xyz1, xyz2)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-20))
+    return jnp.sum(match * d)
+
+
+@jax.custom_vjp
+def approx_match_emd(xyz1, xyz2):
+    """Approximate earth mover's distance per cloud pair.
+
+    xyz1: (B, N, 3), xyz2: (B, M, 3) -> cost (B,).
+
+    Matches the call contract of reference caspr/utils/emd.py:24-45 in BNC
+    format (the eval divides by N afterwards, evaluations.py:46-47).  The
+    gradient treats the match as constant, like matchcost_backward.
+    """
+    return _emd_fwd_impl(xyz1, xyz2)
+
+
+def _emd_fwd_impl(xyz1, xyz2):
+    def one(args):
+        a, b = args
+        return _match_cost(a, b, _approx_match(a, b))
+
+    return lax.map(one, (xyz1, xyz2))
+
+
+def _emd_fwd(xyz1, xyz2):
+    def one(args):
+        a, b = args
+        match = _approx_match(a, b)
+        return _match_cost(a, b, match), match
+
+    cost, match = lax.map(one, (xyz1, xyz2))
+    return cost, (xyz1, xyz2, match)
+
+
+def _emd_bwd(res, g):
+    xyz1, xyz2, match = res
+    diff = xyz1[:, :, None, :] - xyz2[:, None, :, :]  # (B, N, M, 3)
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-20))
+    grad_pair = (match / d)[..., None] * diff  # d||a-b||/da weighted by flow
+    g1 = g[:, None, None] * jnp.sum(grad_pair, axis=2)
+    g2 = -g[:, None, None] * jnp.sum(grad_pair, axis=1)
+    return g1, g2
+
+
+approx_match_emd.defvjp(_emd_fwd, _emd_bwd)

@@ -1,0 +1,414 @@
+"""From-scratch adaptive ODE integration for TPU (jit-compiled end to end).
+
+Replaces torchdiffeq's dopri5 + adjoint (reference
+caspr/models/latent_ode_model.py:9,98 and caspr/models/cnf.py:11,100-119):
+
+  - ``odeint``          : Dormand-Prince RK45 with PI-free torchdiffeq-style
+                          step control, 4th-order dense output at an
+                          arbitrary static-length vector of request times,
+                          and an NFE counter carried in solver state
+                          (the reference's de-facto profiler, SURVEY §5).
+                          Forward/inference only (lax.while_loop inside).
+  - ``odeint_adjoint``  : the same integrator wrapped in a custom_vjp that
+                          implements the continuous adjoint method --
+                          backward-in-time augmented solves per output
+                          interval with gradients w.r.t. y0, the request
+                          times (needed for the CNF's trainable end time,
+                          reference caspr/models/cnf.py:56-57,88-93), and an
+                          arbitrary float pytree of ``args`` (dynamics
+                          parameters, conditioning context, Hutchinson
+                          noise).
+
+Everything is static-shape: the dynamic step count lives inside
+lax.while_loop; request times are a fixed-length vector filled via masked
+writes, replacing torchdiffeq's Python-level time loop.
+
+``func`` has signature ``func(t, y, args) -> dy/dt`` with ``y`` an arbitrary
+pytree. Request times must be non-decreasing with ``ts[0]`` the initial
+time; reverse-time flows are expressed by time-reflecting the dynamics at
+the call site (see caspr_tpu.models.cnf).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# Dormand-Prince 5(4) tableau (host-side numpy so importing this module
+# never touches a device).
+_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0], np.float64)
+_A = [
+    np.array([1 / 5], np.float64),
+    np.array([3 / 40, 9 / 40], np.float64),
+    np.array([44 / 45, -56 / 15, 32 / 9], np.float64),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729], np.float64),
+    np.array(
+        [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+        np.float64,
+    ),
+    np.array(
+        [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+        np.float64,
+    ),
+]
+_B = np.array(
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0],
+    np.float64,
+)
+_B_ERR = _B - np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40],
+    np.float64,
+)
+# Coefficients for a 5th-order-accurate midpoint value used to fit the
+# quartic dense-output polynomial (standard Dormand-Prince continuous
+# extension data).
+_C_MID = np.array(
+    [
+        6025192743 / 30085553152 / 2,
+        0.0,
+        51252292925 / 65400821598 / 2,
+        -2691868925 / 45128329728 / 2,
+        187940372067 / 1594534317056 / 2,
+        -1776094331 / 19743644256 / 2,
+        11237099 / 235043384 / 2,
+    ],
+    np.float64,
+)
+
+_SAFETY = 0.9
+_IFACTOR = 10.0
+_DFACTOR = 0.2
+_ORDER_EXP = -1.0 / 5.0
+
+
+def _tm(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def _weighted_sum(coeffs, ks):
+    """sum_i coeffs[i] * ks[i] over a list of pytrees."""
+    out = _tm(lambda k: coeffs[0].astype(k.dtype) * k, ks[0])
+    for c, k in zip(coeffs[1:], ks[1:]):
+        out = _tm(lambda o, kk, c=c: o + c.astype(kk.dtype) * kk, out, k)
+    return out
+
+
+def _error_ratio(err, y0, y1, rtol, atol):
+    """max over leaves of RMS(err / (atol + rtol*max(|y0|,|y1|)))."""
+
+    def leaf_ratio(e, a, b):
+        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        r = e / tol
+        return jnp.sqrt(jnp.mean(jnp.square(r)))
+
+    ratios = jax.tree_util.tree_leaves(_tm(leaf_ratio, err, y0, y1))
+    return jnp.max(jnp.stack(ratios))
+
+
+def _rms_norm(tree, scale):
+    def leaf(e, s):
+        return jnp.sqrt(jnp.mean(jnp.square(e / s)))
+
+    leaves = jax.tree_util.tree_leaves(_tm(leaf, tree, scale))
+    return jnp.max(jnp.stack(leaves))
+
+
+def _initial_step(func, t0, y0, f0, rtol, atol):
+    """Hairer's starting-step heuristic (one extra function evaluation)."""
+    scale = _tm(lambda y: atol + rtol * jnp.abs(y), y0)
+    d0 = _rms_norm(y0, scale)
+    d1 = _rms_norm(f0, scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = _tm(lambda y, f: y + h0 * f, y0, f0)
+    f1 = func(t0 + h0, y1)
+    d2 = _rms_norm(_tm(lambda a, b: a - b, f1, f0), scale) / h0
+    h1 = jnp.where(
+        jnp.maximum(d1, d2) <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+def _optimal_step(h, ratio, accepted):
+    """torchdiffeq-style step update: grow up to x10, shrink to x0.2."""
+    ratio = jnp.where(ratio <= 1e-10, 1e-10, ratio)
+    factor = _SAFETY * ratio**_ORDER_EXP
+    lo = jnp.where(accepted, 1.0, _DFACTOR)  # never shrink an accepted step
+    factor = jnp.clip(factor, lo, _IFACTOR)
+    # NaN error (diverged state): treat as hard reject.
+    factor = jnp.where(jnp.isnan(ratio), _DFACTOR, factor)
+    return h * factor
+
+
+def _interp_coeffs(y0, y1, y_mid, f0, f1, h):
+    """Quartic fit through (y0, y_mid, y1) with slopes (f0, f1).
+
+    Returns [c0..c4] with p(theta) = sum_j c_j theta^j, theta in [0, 1].
+    """
+
+    hf0 = _tm(lambda f: h * f, f0)
+    hf1 = _tm(lambda f: h * f, f1)
+    a = _tm(lambda y1_, y0_, d: y1_ - y0_ - d, y1, y0, hf0)
+    b = _tm(lambda ym_, y0_, d: ym_ - y0_ - 0.5 * d, y_mid, y0, hf0)
+    c = _tm(lambda d1, d0: d1 - d0, hf1, hf0)
+    c4 = _tm(lambda a_, b_, c_: -8.0 * a_ + 16.0 * b_ + 2.0 * c_, a, b, c)
+    c3 = _tm(lambda a_, b_, c_: 14.0 * a_ - 32.0 * b_ - 3.0 * c_, a, b, c)
+    c2 = _tm(lambda a_, b_, c_: -5.0 * a_ + 16.0 * b_ + c_, a, b, c)
+    return [y0, hf0, c2, c3, c4]
+
+
+def _eval_interp_at(coeffs, thetas):
+    """Evaluate the quartic at a vector of thetas: leaf (X,) -> (T, X)."""
+
+    def per_leaf(c0, c1, c2, c3, c4):
+        th = thetas.reshape((-1,) + (1,) * c0.ndim).astype(c0.dtype)
+        return c0 + th * (c1 + th * (c2 + th * (c3 + th * c4)))
+
+    return _tm(per_leaf, *coeffs)
+
+
+class _OdeState(NamedTuple):
+    t: Any
+    y: Any
+    f: Any
+    h: Any
+    outs: Any
+    filled: Any
+    nfe: Any
+    steps: Any
+
+
+def _integrate(func, y0, ts, rtol, atol, max_steps):
+    """Core dopri5 loop. ts: (T,) non-decreasing, ts[0] = initial time.
+
+    Returns (outs pytree with leading axis T, nfe float32).
+    """
+    num_t = ts.shape[0]
+    t0 = ts[0]
+    t_final = ts[-1]
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    ts = ts.astype(dtype)
+
+    f0 = func(t0, y0)
+    h0 = _initial_step(func, t0, y0, f0, rtol, atol).astype(dtype)
+
+    # Pre-fill request times equal to the initial time.
+    filled0 = ts <= t0
+    outs0 = _tm(
+        lambda y: jnp.where(
+            filled0.reshape((-1,) + (1,) * y.ndim),
+            jnp.broadcast_to(y, (num_t,) + y.shape),
+            jnp.zeros((num_t,) + y.shape, y.dtype),
+        ),
+        y0,
+    )
+
+    def cond(s: _OdeState):
+        return (~jnp.all(s.filled)) & (s.steps < max_steps) & (s.t < t_final)
+
+    def body(s: _OdeState):
+        h = jnp.minimum(s.h, t_final - s.t)
+        ks = [s.f]
+        for i in range(6):
+            ti = s.t + _C[i + 1].astype(dtype) * h
+            yi = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_A[i], ks))
+            ks.append(func(ti, yi))
+        y1 = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_B, ks))
+        err = _tm(lambda d: h * d, _weighted_sum(_B_ERR, ks))
+        ratio = _error_ratio(err, s.y, y1, rtol, atol)
+        accept = ratio <= 1.0
+        t1 = s.t + h
+
+        y_mid = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_C_MID, ks))
+        coeffs = _interp_coeffs(s.y, y1, y_mid, s.f, ks[6], h)
+        # Fill every not-yet-filled request time this step crosses.
+        slack = 1e-6 * jnp.maximum(1.0, jnp.abs(t1))
+        newly = accept & (~s.filled) & (ts <= t1 + slack)
+        thetas = jnp.clip((ts - s.t) / jnp.maximum(h, 1e-30), 0.0, 1.0)
+        interp = _eval_interp_at(coeffs, thetas)
+        outs = _tm(
+            lambda o, v: jnp.where(
+                newly.reshape((-1,) + (1,) * (o.ndim - 1)), v, o
+            ),
+            s.outs,
+            interp,
+        )
+
+        sel = lambda a, b: _tm(lambda x, y: jnp.where(accept, x, y), a, b)
+        return _OdeState(
+            t=jnp.where(accept, t1, s.t),
+            y=sel(y1, s.y),
+            f=sel(ks[6], s.f),  # FSAL
+            h=_optimal_step(h, ratio, accept),
+            outs=outs,
+            filled=s.filled | newly,
+            nfe=s.nfe + 6.0,
+            steps=s.steps + 1,
+        )
+
+    init = _OdeState(
+        t=t0.astype(dtype),
+        y=y0,
+        f=f0,
+        h=h0,
+        outs=outs0,
+        filled=filled0,
+        nfe=jnp.asarray(2.0, jnp.float32),  # f0 + the step-size probe
+        steps=jnp.asarray(0, jnp.int32),
+    )
+    final = lax.while_loop(cond, body, init)
+
+    # Safety net: any request time not filled (endpoint rounding) takes the
+    # final integrator state.
+    outs = _tm(
+        lambda o, y: jnp.where(
+            (~final.filled).reshape((-1,) + (1,) * y.ndim),
+            jnp.broadcast_to(y, o.shape),
+            o,
+        ),
+        final.outs,
+        final.y,
+    )
+    return outs, final.nfe
+
+
+def odeint(
+    func: Callable,
+    y0: Any,
+    ts: jnp.ndarray,
+    args: Any = None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    max_steps: int = 50_000,
+):
+    """Integrate dy/dt = func(t, y, args) and report states at ``ts``.
+
+    Returns ``(ys, nfe)`` where each leaf of ``ys`` has a leading axis of
+    len(ts) and nfe is the number of dynamics evaluations (float32).
+    Inference-only (reverse-mode AD is not defined through the while loop);
+    use ``odeint_adjoint`` for training.
+    """
+    wrapped = lambda t, y: func(t, y, args)
+    return _integrate(wrapped, y0, ts, rtol, atol, max_steps)
+
+
+def _solve_final(func, y0, t_lo, t_hi, rtol, atol, max_steps):
+    """Integrate from t_lo to t_hi, returning only the final state + nfe."""
+    ts = jnp.stack([t_lo, t_hi])
+    outs, nfe = _integrate(func, y0, ts, rtol, atol, max_steps)
+    return _tm(lambda o: o[1], outs), nfe
+
+
+def _tree_dot(a, b):
+    parts = jax.tree_util.tree_leaves(
+        _tm(lambda x, y: jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32)), a, b)
+    )
+    return jnp.sum(jnp.stack(parts))
+
+
+def odeint_adjoint(
+    func: Callable,
+    y0: Any,
+    ts: jnp.ndarray,
+    args: Any = None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    max_steps: int = 50_000,
+):
+    """``odeint`` with O(1)-memory continuous-adjoint gradients.
+
+    Gradients are produced for y0, ts and every (float) leaf of ``args`` --
+    the dynamics parameters and any conditioning tensors must be passed via
+    ``args`` (not closed over) so the adjoint can differentiate w.r.t. them.
+    Mirrors torchdiffeq.odeint_adjoint used by the reference
+    (caspr/models/latent_ode_model.py:98, caspr/models/cnf.py:100-110); the
+    backward pass re-integrates the augmented system between output times at
+    the same tolerances.
+    """
+
+    @jax.custom_vjp
+    def _run(y0, ts, args):
+        wrapped = lambda t, y: func(t, y, args)
+        return _integrate(wrapped, y0, ts, rtol, atol, max_steps)
+
+    def _fwd(y0, ts, args):
+        outs, nfe = _run(y0, ts, args)
+        return (outs, nfe), (outs, ts, args)
+
+    def _bwd(res, cts):
+        ys, ts, args = res
+        g_ys, _ = cts  # NFE cotangent is discarded
+        num_t = ts.shape[0]
+
+        if num_t == 1:  # single request time == initial time: identity map
+            return (
+                _tm(lambda g: g[0], g_ys),
+                jnp.zeros_like(ts),
+                _tm(jnp.zeros_like, args),
+            )
+
+        def aug_dyn(s, aug, inner):
+            y, a_y, _ = aug
+            t_hi = inner["t_hi"]
+            t = t_hi - s
+
+            def f_of(y_, args_):
+                return func(t, y_, args_)
+
+            f_val, vjp_fn = jax.vjp(f_of, y, inner["args"])
+            v_y, v_args = vjp_fn(a_y)
+            return (_tm(jnp.negative, f_val), v_y, v_args)
+
+        a_args0 = _tm(jnp.zeros_like, args)
+        y_T = _tm(lambda o: o[num_t - 1], ys)
+        a_y0 = _tm(lambda g: g[num_t - 1], g_ys)
+
+        def interval(carry, i):
+            # i runs T-1 .. 1; integrate adjoint from ts[i] down to ts[i-1].
+            a_y, a_args = carry
+            y_i = _tm(lambda o: o[i], ys)
+            g_i = _tm(lambda g: g[i], g_ys)
+            f_i = func(ts[i], y_i, args)
+            dldt_i = _tree_dot(g_i, f_i)
+
+            span = ts[i] - ts[i - 1]
+            inner = {"t_hi": ts[i], "args": args}
+            aug0 = (y_i, a_y, a_args)
+            aug_fn = lambda s, aug: aug_dyn(s, aug, inner)
+            aug_T, _ = _solve_final(
+                aug_fn, aug0, jnp.zeros_like(span), span, rtol, atol, max_steps
+            )
+            _, a_y, a_args = aug_T
+            g_prev = _tm(lambda g: g[i - 1], g_ys)
+            a_y_with_g = _tm(jnp.add, a_y, g_prev)
+            return (a_y_with_g, a_args), (dldt_i, a_y)
+
+        idxs = jnp.arange(num_t - 1, 0, -1)
+        (a_y_final, a_args_final), (dldts, a_at_lo) = lax.scan(
+            interval, (a_y0, a_args0), idxs
+        )
+
+        # dL/dts[i] for i>=1 from the scan (reverse order); dL/dts[0] via
+        # the initial-time sensitivity -a(t0)·f(t0, y0) computed BEFORE
+        # injecting g[0] (a_at_lo[-1] is a(t0) pre-injection).
+        y_0 = _tm(lambda o: o[0], ys)
+        a_t0 = _tm(lambda a: a[num_t - 2], a_at_lo)
+        f_0 = func(ts[0], y_0, args)
+        dldt0 = -_tree_dot(a_t0, f_0)
+
+        grad_ts = jnp.zeros_like(ts)
+        grad_ts = grad_ts.at[idxs].set(dldts)
+        grad_ts = grad_ts.at[0].set(dldt0.astype(ts.dtype))
+
+        return (a_y_final, grad_ts, a_args_final)
+
+    _run.defvjp(_fwd, _bwd)
+    return _run(y0, ts, args)

@@ -1,0 +1,151 @@
+"""Point-cloud primitives for TPU, replacing the reference's Kaolin CUDA
+extensions (reference caspr/models/pointnet2.py:7-10).
+
+Semantics replicated (each documented at its function):
+  - furthest_point_sampling : kaolin furthest_point_sampling (seed index 0)
+  - gather_points           : kaolin fps_gather_by_index
+  - ball_query/group_points : kaolin PointNet2GroupingLayer (first-K within
+                              radius, pad with first hit, relative xyz)
+  - three_nn                : kaolin three_nn (3 smallest SQUARED distances)
+  - three_interpolate       : kaolin three_interpolate (weighted 3-NN gather)
+
+These are the XLA implementations: static shapes, vmap-able, jit-able, and
+designed so the heavy inner products ride the MXU.  Pallas variants of the
+hot kernels live in caspr_tpu.ops.pallas_kernels and are selected via
+caspr_tpu.ops.dispatch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pairwise_sqdist(a, b):
+    """Exact squared distances between two point sets.
+
+    a: (..., M, D), b: (..., N, D) -> (..., M, N).
+
+    Computed via explicit differences rather than the |a|^2+|b|^2-2ab
+    expansion: for near-duplicate points with O(1) coordinates the expansion
+    loses ~7 digits to cancellation, which is fatal for Chamfer/ball-query
+    parity at the 1e-3 distance scale.  D is 3 here, so the O(M*N*D)
+    element-wise form is cheap on the VPU and XLA fuses the reduction.
+    """
+    diff = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def farthest_point_sampling(xyz, num_samples: int):
+    """Iterative farthest point sampling. xyz: (B, N, 3) -> (B, M) int32.
+
+    Matches the Kaolin CUDA kernel used at reference
+    caspr/models/pointnet2.py:384: the first selected index is 0 and each
+    subsequent pick maximizes the minimum squared distance to the selected
+    set (ties resolved to the lowest index, as argmax does).
+    """
+    n = xyz.shape[-2]
+
+    def one_cloud(pts):  # (N, 3)
+        def body(i, state):
+            min_d, idxs = state
+            last = pts[idxs[i - 1]]
+            d = jnp.sum(jnp.square(pts - last), axis=-1)
+            min_d = jnp.minimum(min_d, d)
+            nxt = jnp.argmax(min_d).astype(jnp.int32)
+            return min_d, idxs.at[i].set(nxt)
+
+        idxs0 = jnp.zeros((num_samples,), jnp.int32)
+        min_d0 = jnp.full((n,), jnp.inf, pts.dtype)
+        _, idxs = lax.fori_loop(1, num_samples, body, (min_d0, idxs0))
+        return idxs
+
+    return jax.vmap(one_cloud)(xyz)
+
+
+def gather_points(points, idx):
+    """Gather along the point axis. points: (B, N, C), idx: (B, ...) int ->
+    (B, ..., C).  Replaces kaolin fps_gather_by_index (reference
+    caspr/models/pointnet2.py:385-386) in channels-last layout."""
+    b, _, c = points.shape
+    flat_idx = idx.reshape(b, -1)
+    out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
+    return out.reshape(*idx.shape, c)
+
+
+def ball_query(xyz, new_xyz, radius: float, num_samples: int):
+    """Indices of the first ``num_samples`` points of ``xyz`` within
+    ``radius`` of each centroid, padded with the first hit.
+
+    xyz: (B, N, 3) source points, new_xyz: (B, M, 3) centroids
+    -> idx (B, M, K) int32.
+
+    Replicates the CUDA ball-query semantics behind kaolin's
+    PointNet2GroupingLayer (reference caspr/models/pointnet2.py:340-342,391):
+    scan source points in index order, keep the first K inside the ball,
+    fill remaining slots with the first in-ball index; if the ball is empty
+    every slot is index 0.
+
+    Vectorized trick: give each in-radius point the key (N - position);
+    top_k then returns the K earliest positions in increasing order.
+    """
+    n = xyz.shape[-2]
+    d2 = pairwise_sqdist(new_xyz, xyz)  # (B, M, N)
+    mask = d2 < (radius * radius)
+    pos_key = jnp.arange(n, 0, -1, dtype=jnp.int32)  # N - position
+    keys = jnp.where(mask, pos_key, 0)
+    top_vals, top_idx = lax.top_k(keys, num_samples)  # (B, M, K)
+    valid = top_vals > 0
+    first_hit = top_idx[..., :1]
+    any_hit = valid[..., :1]
+    idx = jnp.where(valid, top_idx, first_hit)
+    idx = jnp.where(any_hit, idx, 0)
+    return idx.astype(jnp.int32)
+
+
+def group_points(xyz, new_xyz, features, idx, use_xyz_feature: bool = True):
+    """Gather grouped neighborhoods and form relative-coordinate features.
+
+    xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None;
+    idx: (B, M, K) -> (B, M, K, 3+C) with centered xyz first, matching the
+    channel order of kaolin's grouping (rel-xyz concatenated ahead of
+    features; see reference caspr/models/pointnet2.py:391-394 which expects
+    (B, M, C+3, K) channels-first — ours is the channels-last mirror).
+    """
+    grouped_xyz = gather_points(xyz, idx)  # (B, M, K, 3)
+    rel_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if features is None:
+        return rel_xyz
+    grouped_feat = gather_points(features, idx)  # (B, M, K, C)
+    if use_xyz_feature:
+        return jnp.concatenate([rel_xyz, grouped_feat], axis=-1)
+    return grouped_feat
+
+
+def three_nn(query_xyz, source_xyz):
+    """3 nearest neighbors of each query among source points.
+
+    query_xyz: (B, N, 3), source_xyz: (B, M, 3)
+    -> (dist2 (B, N, 3), idx (B, N, 3) int32)
+
+    Returns SQUARED distances like the kaolin/PointNet++ CUDA three_nn
+    (the caller applies 1/(d+1e-8) inverse-distance weights; reference
+    caspr/models/pointnet2.py:514-518).
+    """
+    d2 = pairwise_sqdist(query_xyz, source_xyz)  # (B, N, M)
+    neg_d, idx = lax.top_k(-d2, 3)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def three_interpolate(features, idx, weights):
+    """Weighted gather of source features onto query points.
+
+    features: (B, M, C), idx: (B, N, 3), weights: (B, N, 3) -> (B, N, C).
+    Mirrors kaolin three_interpolate (reference
+    caspr/models/pointnet2.py:519).
+    """
+    gathered = gather_points(features, idx)  # (B, N, 3, C)
+    return jnp.sum(gathered * weights[..., None], axis=2)

@@ -1,0 +1,169 @@
+"""ODE solver tests: closed-form linear ODEs, oracle comparison against
+jax.experimental.ode, adjoint gradient checks against finite differences
+and against differentiating a fixed-step RK4 (SURVEY.md §4 test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caspr_tpu.ops import odeint, odeint_adjoint
+
+
+def linear_func(t, y, args):
+    return args["A"] @ y
+
+
+def test_scalar_exponential():
+    func = lambda t, y, args: args * y
+    ts = jnp.linspace(0.0, 2.0, 9)
+    ys, nfe = odeint(func, jnp.array([1.0]), ts, jnp.asarray(-0.7), rtol=1e-6, atol=1e-8)
+    want = np.exp(-0.7 * np.asarray(ts))[:, None]
+    np.testing.assert_allclose(np.asarray(ys), want, rtol=1e-4, atol=1e-6)
+    assert float(nfe) > 0
+
+
+def test_linear_system_matrix_exponential():
+    rng = np.random.RandomState(0)
+    A = rng.randn(4, 4).astype(np.float32) * 0.5
+    A = A - A.T  # skew: bounded dynamics
+    y0 = rng.randn(4).astype(np.float32)
+    ts = jnp.array([0.0, 0.3, 0.9, 1.5])
+    ys, _ = odeint(linear_func, jnp.asarray(y0), ts, {"A": jnp.asarray(A)}, rtol=1e-6, atol=1e-8)
+    import scipy.linalg as sla
+
+    for i, t in enumerate(np.asarray(ts)):
+        want = sla.expm(A * t) @ y0
+        np.testing.assert_allclose(np.asarray(ys)[i], want, rtol=2e-4, atol=1e-5)
+
+
+def test_duplicate_and_initial_times():
+    func = lambda t, y, args: -y
+    ts = jnp.array([0.0, 0.0, 0.5, 0.5, 1.0])
+    ys, _ = odeint(func, jnp.array([2.0]), ts, None, rtol=1e-6, atol=1e-8)
+    want = 2.0 * np.exp(-np.asarray(ts))
+    np.testing.assert_allclose(np.asarray(ys)[:, 0], want, rtol=1e-4)
+
+
+def test_zero_span():
+    func = lambda t, y, args: -y
+    ts = jnp.array([0.3, 0.3])
+    ys, _ = odeint(func, jnp.array([2.0]), ts, None)
+    np.testing.assert_allclose(np.asarray(ys), [[2.0], [2.0]])
+
+
+def test_pytree_state():
+    func = lambda t, y, args: {"a": -y["a"], "b": 0.5 * y["b"]}
+    ts = jnp.array([0.0, 1.0])
+    ys, _ = odeint(func, {"a": jnp.ones(3), "b": jnp.ones(2)}, ts, None, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys["a"][1]), np.exp(-1.0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ys["b"][1]), np.exp(0.5), rtol=1e-4)
+
+
+def test_against_jax_experimental_ode():
+    from jax.experimental.ode import odeint as jax_odeint
+
+    def f(t, y, args):
+        return jnp.stack([y[1], -jnp.sin(y[0]) - 0.1 * y[1] + jnp.sin(t)])
+
+    y0 = jnp.array([0.5, 0.0])
+    ts = jnp.linspace(0.0, 5.0, 11)
+    ours, _ = odeint(f, y0, ts, None, rtol=1e-6, atol=1e-8)
+    ref = jax_odeint(lambda y, t: f(t, y, None), y0, ts, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_nfe_scales_with_tolerance():
+    def f(t, y, args):
+        return jnp.stack([y[1], -100.0 * y[0]])  # stiff-ish oscillator
+
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.array([0.0, 1.0])
+    _, nfe_loose = odeint(f, y0, ts, None, rtol=1e-3, atol=1e-3)
+    _, nfe_tight = odeint(f, y0, ts, None, rtol=1e-8, atol=1e-10)
+    assert float(nfe_tight) > float(nfe_loose)
+
+
+# ----------------------------- adjoint ------------------------------------
+
+
+def test_adjoint_matches_forward():
+    func = lambda t, y, args: args["A"] @ jnp.tanh(y)
+    rng = np.random.RandomState(1)
+    A = jnp.asarray(rng.randn(3, 3).astype(np.float32) * 0.4)
+    y0 = jnp.asarray(rng.randn(3).astype(np.float32))
+    ts = jnp.array([0.0, 0.7, 1.3])
+    ys1, _ = odeint(func, y0, ts, {"A": A}, rtol=1e-6, atol=1e-8)
+    ys2, _ = odeint_adjoint(func, y0, ts, {"A": A}, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ys1), np.asarray(ys2), rtol=1e-6)
+
+
+def _loss(y0, ts, args, use_adjoint=True):
+    func = lambda t, y, a: a["A"] @ jnp.tanh(y) + a["b"]
+    ys, _ = odeint_adjoint(func, y0, ts, args, rtol=1e-8, atol=1e-10)
+    return jnp.sum(jnp.sin(ys) * jnp.arange(1.0, 1.0 + ys.size).reshape(ys.shape))
+
+
+def test_adjoint_grads_vs_finite_difference():
+    rng = np.random.RandomState(2)
+    A = rng.randn(3, 3).astype(np.float32) * 0.3
+    b = rng.randn(3).astype(np.float32) * 0.1
+    y0 = rng.randn(3).astype(np.float32)
+    ts = np.array([0.0, 0.4, 1.0], np.float32)
+    args = {"A": jnp.asarray(A), "b": jnp.asarray(b)}
+
+    g_y0, g_ts, g_args = jax.grad(_loss, argnums=(0, 1, 2))(
+        jnp.asarray(y0), jnp.asarray(ts), args
+    )
+
+    eps = 1e-3
+
+    def fd(f, x):
+        g = np.zeros_like(x)
+        flat = x.reshape(-1)
+        for i in range(flat.size):
+            xp = flat.copy()
+            xm = flat.copy()
+            xp[i] += eps
+            xm[i] -= eps
+            g.reshape(-1)[i] = (f(xp.reshape(x.shape)) - f(xm.reshape(x.shape))) / (
+                2 * eps
+            )
+        return g
+
+    f_y0 = lambda v: float(_loss(jnp.asarray(v), jnp.asarray(ts), args))
+    np.testing.assert_allclose(np.asarray(g_y0), fd(f_y0, y0), rtol=2e-2, atol=2e-3)
+
+    f_A = lambda v: float(
+        _loss(jnp.asarray(y0), jnp.asarray(ts), {"A": jnp.asarray(v), "b": args["b"]})
+    )
+    np.testing.assert_allclose(np.asarray(g_args["A"]), fd(f_A, A), rtol=2e-2, atol=2e-3)
+
+    f_b = lambda v: float(
+        _loss(jnp.asarray(y0), jnp.asarray(ts), {"A": args["A"], "b": jnp.asarray(v)})
+    )
+    np.testing.assert_allclose(np.asarray(g_args["b"]), fd(f_b, b), rtol=2e-2, atol=2e-3)
+
+    # time gradients: perturb final and middle times
+    f_ts = lambda v: float(_loss(jnp.asarray(y0), jnp.asarray(v), args))
+    np.testing.assert_allclose(np.asarray(g_ts), fd(f_ts, ts), rtol=2e-2, atol=2e-3)
+
+
+def test_adjoint_under_jit_and_tuple_state():
+    def func(t, y, a):
+        x, logp = y
+        return (a * x, -jnp.sum(x, keepdims=True))
+
+    @jax.jit
+    def loss(a):
+        ts = jnp.array([0.0, 1.0])
+        (xs, lps), nfe = odeint_adjoint(
+            func, (jnp.ones(3), jnp.zeros(1)), ts, a, rtol=1e-6, atol=1e-8
+        )
+        return jnp.sum(xs[1]) + jnp.sum(lps[1])
+
+    g = jax.grad(loss)(jnp.asarray(-0.3))
+    # d/da [3 e^a] + d/da [-3 (e^a - 1)/a]
+    a = -0.3
+    want = 3 * np.exp(a) - 3 * (np.exp(a) * a - (np.exp(a) - 1)) / a**2
+    np.testing.assert_allclose(float(g), want, rtol=1e-3)
