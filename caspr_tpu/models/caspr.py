@@ -1,0 +1,307 @@
+"""CaSPR top model: TPointNet++ encoder -> latent Neural ODE -> conditional
+CNF decoder, as one pure function over a parameter pytree.
+
+Functional re-design of reference caspr/models/caspr.py:22-308.  Notable
+TPU-first departures:
+
+  - the reference dedups ODE request times with torch.unique
+    (caspr.py:157-183), a dynamic-shape op; we sort the full B*T time
+    vector and gather results back through the inverse permutation —
+    static shapes, same math (duplicate times cost nothing extra because
+    the solver's dense output interpolates at request times)
+  - mutable pieces (CNF MovingBatchNorm running stats) are an explicit
+    ``state`` pytree threaded through apply
+  - all randomness (Hutchinson noise, base-distribution sampling) flows
+    from explicit PRNG keys
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sample_gaussian, sphere_surface_points, standard_normal_logprob
+from .cnf import CNFConfig, flow_apply, flow_init
+from .latent_ode import (
+    LatentODEConfig,
+    dynamics_init,
+    latent_ode_solve,
+)
+from .tpointnet2 import (
+    TPointNet2Config,
+    tnocs_l1_loss,
+    tpointnet2_apply,
+    tpointnet2_init,
+)
+
+
+@dataclass(frozen=True)
+class CaSPRConfig:
+    """Mirrors the reference CaSPR constructor knobs (caspr.py:23-33)."""
+
+    radii_list: Tuple[float, ...] = (0.02, 0.05, 0.1, 0.2, 0.4, 0.8)
+    local_feat_size: int = 512
+    latent_feat_size: int = 1600
+    ode_hidden_size: int = 512
+    motion_feat_size: int = 64
+    pretrain_tnocs: bool = False
+    augment_quad: bool = True
+    augment_pairs: bool = True
+    cnf_blocks: int = 1
+    regress_tnocs: bool = True
+    tnocs_point_size: int = 4
+    sa_points: Tuple[int, ...] = (1024, 512, 256, 64, 16)
+    ball_samples: Tuple[int, int] = (16, 32)
+    global_feat_size: int = 1024
+    space_time_pt_feat: int = 64
+    cnf_dims: Tuple[int, ...] = (512, 512, 512)
+
+    def encoder_config(self) -> TPointNet2Config:
+        return TPointNet2Config(
+            radii_list=tuple(self.radii_list),
+            local_feat_size=self.local_feat_size,
+            out_feat_size=self.latent_feat_size,
+            augment_quad=self.augment_quad,
+            augment_pairs=self.augment_pairs,
+            tnocs_point_size=self.tnocs_point_size,
+            regress_tnocs=self.regress_tnocs,
+            sa_points=tuple(self.sa_points),
+            ball_samples=tuple(self.ball_samples),
+            global_feat_size=self.global_feat_size,
+            space_time_pt_feat=self.space_time_pt_feat,
+        )
+
+    def latent_ode_config(self) -> LatentODEConfig:
+        return LatentODEConfig(
+            input_size=self.motion_feat_size, hidden_size=self.ode_hidden_size
+        )
+
+    def cnf_config(self) -> CNFConfig:
+        return CNFConfig(
+            zdim=self.latent_feat_size,
+            num_blocks=self.cnf_blocks,
+            dims=tuple(self.cnf_dims),
+        )
+
+
+def caspr_init(key, cfg: CaSPRConfig):
+    """Returns (params, state)."""
+    k_enc, k_ode, k_cnf = jax.random.split(key, 3)
+    params = {"encoder": tpointnet2_init(k_enc, cfg.encoder_config())}
+    state = {}
+    if not cfg.pretrain_tnocs:
+        params["latent_ode"] = dynamics_init(k_ode, cfg.latent_ode_config())
+        cnf_params, cnf_state = flow_init(k_cnf, cfg.cnf_config())
+        params["point_cnf"] = cnf_params
+        state["point_cnf"] = cnf_state
+    return params, state
+
+
+class CaSPRModel:
+    """Thin namespace binding a static config to the pure model functions."""
+
+    def __init__(self, cfg: CaSPRConfig):
+        self.cfg = cfg
+
+    # ------------------------------ encode -------------------------------
+
+    def encode(self, params, x):
+        """x: (B, T, N, 4) -> (z0 (B, H), tnocs_pred (B,T,N,4) or None).
+        (reference caspr.py:148-155)"""
+        return tpointnet2_apply(params["encoder"], self.cfg.encoder_config(), x)
+
+    # --------------------------- latent solve ----------------------------
+
+    def aggregate_and_solve_latent(self, params, z0, times, *, adjoint):
+        """z0: (B, H), times: (B, T) -> (feats (B, T, H), nfe).
+
+        Static-shape replacement for the reference's torch.unique batching
+        (caspr.py:157-183): solve at the sorted flattened times, then gather
+        each (b, t) slot back via the inverse permutation.
+        """
+        b, t = times.shape
+        motion = self.cfg.motion_feat_size
+        z_dyn = z0[:, :motion]
+        z_stat = z0[:, motion:]
+
+        flat = times.reshape(-1)
+        order = jnp.argsort(flat)
+        sorted_t = flat[order]
+        ranks = jnp.argsort(order).reshape(b, t)
+
+        pred_z, nfe = latent_ode_solve(
+            params["latent_ode"],
+            self.cfg.latent_ode_config(),
+            z_dyn,
+            sorted_t,
+            adjoint=adjoint,
+        )  # (B, B*T, motion)
+        feats = jnp.take_along_axis(pred_z, ranks[..., None], axis=1)  # (B,T,m)
+        z_rep = jnp.broadcast_to(z_stat[:, None, :], (b, t, z_stat.shape[-1]))
+        return jnp.concatenate([feats, z_rep], axis=-1), nfe
+
+    # ------------------------------ forward ------------------------------
+
+    def forward(self, params, state, x, sample_points, key, *, training=True):
+        """Training/eval forward returning unreduced losses.
+
+        x, sample_points: (B, T, N, 4).  Returns (out, new_state) where out
+        has 'tnocs_loss' (B,T,N,4) if regressing, 'nll' (B,T,N) unless
+        pretraining, and 'nfe' = (latent_ode_nfe, cnf_nfe).
+        (reference caspr.py:76-122 + get_nll_loss 124-146)
+        """
+        cfg = self.cfg
+        b, t, n, _ = sample_points.shape
+        z0, tnocs_pred = self.encode(params, x)
+
+        out = {}
+        if cfg.regress_tnocs:
+            out["tnocs_loss"] = tnocs_l1_loss(
+                tnocs_pred[..., : cfg.tnocs_point_size],
+                sample_points[..., : cfg.tnocs_point_size],
+            )
+            out["tnocs_pred"] = tnocs_pred
+        if cfg.pretrain_tnocs:
+            out["nfe"] = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+            return out, state
+
+        all_times = sample_points[:, :, 0, 3]  # (B, T); caspr.py:106
+        feats, ode_nfe = self.aggregate_and_solve_latent(
+            params, z0, all_times, adjoint=training
+        )
+        z = feats.reshape(b * t, cfg.latent_feat_size)
+        pts = sample_points[..., :3].reshape(b * t, n, 3)
+        logp0 = jnp.zeros((b * t, n, 1), pts.dtype)
+        y, dlogp, cnf_state, cnf_nfe = flow_apply(
+            params["point_cnf"],
+            state["point_cnf"],
+            cfg.cnf_config(),
+            pts,
+            z,
+            logp0,
+            key,
+            reverse=False,
+            training=training,
+        )
+        log_py = jnp.sum(standard_normal_logprob(y), axis=-1)  # (B*T, N)
+        log_px = log_py - dlogp.reshape(b * t, n)
+        out["nll"] = (-log_px).reshape(b, t, n)
+        out["nfe"] = (ode_nfe, cnf_nfe)
+        return out, {**state, "point_cnf": cnf_state}
+
+    # ------------------------------ decode -------------------------------
+
+    def decode(
+        self,
+        params,
+        state,
+        z,
+        key,
+        num_points: int = 1024,
+        constant_in_time: bool = False,
+        truncate_std: Optional[float] = None,
+        sample_contours: Optional[Sequence[float]] = None,
+    ):
+        """Sample object-surface points at each step from latents z (B,T,H).
+
+        Returns (y base samples (B,T,N,3), logp_y (B,T,N), x decoded
+        (B,T,N,3), cnf_nfe).  (reference caspr.py:204-267)
+        """
+        cfg = self.cfg
+        b, t, h = z.shape
+        samp_batch = b if constant_in_time else b * t
+        k_samp, k_flow = jax.random.split(key)
+
+        if sample_contours is not None:
+            radii = list(sample_contours)
+            contours = []
+            nsamp = 0
+            ckeys = jax.random.split(k_samp, len(radii))
+            for i, radius in enumerate(radii):
+                if i == len(radii) - 1:
+                    cur = num_points - nsamp
+                else:
+                    cur = num_points // len(radii)
+                pts = sphere_surface_points(ckeys[i], samp_batch * cur, radius)
+                contours.append(pts.reshape(samp_batch, cur, 3))
+                nsamp += num_points // len(radii)
+            y = jnp.concatenate(contours, axis=1)
+        else:
+            y = sample_gaussian(
+                k_samp, (samp_batch, num_points, 3), truncate_std
+            )
+
+        if constant_in_time:
+            y = jnp.broadcast_to(
+                y[:, None, :, :], (b, t, num_points, 3)
+            ).reshape(b * t, num_points, 3)
+
+        logp_y = jnp.sum(
+            standard_normal_logprob(y).reshape(b * t, num_points, -1), axis=-1
+        )
+        x, _, _, nfe = flow_apply(
+            params["point_cnf"],
+            state["point_cnf"],
+            cfg.cnf_config(),
+            y,
+            z.reshape(b * t, h),
+            None,
+            k_flow,
+            reverse=True,
+            training=False,
+        )
+        return (
+            y.reshape(b, t, num_points, 3),
+            logp_y.reshape(b, t, num_points),
+            x.reshape(b, t, num_points, 3),
+            nfe,
+        )
+
+    # ---------------------------- reconstruct ----------------------------
+
+    def reconstruct(
+        self,
+        params,
+        state,
+        x,
+        key,
+        num_points: int = 1024,
+        constant_in_time: bool = False,
+        timestamps: Optional[jnp.ndarray] = None,
+        max_timestamp: float = 5.0,
+        truncate_std: Optional[float] = None,
+        sample_contours: Optional[Sequence[float]] = None,
+    ):
+        """Full inference path: encode -> advect -> decode.
+
+        x: (B, T, N, 4) conditioning sequence; timestamps: (T',) decode
+        times (defaults to the input times / max_timestamp,
+        reference caspr.py:269-308).
+
+        Returns (y, logp_y, x_recon, tnocs_pred, nfe=(ode, cnf)).
+        """
+        b = x.shape[0]
+        z0, tnocs_pred = self.encode(params, x)
+        if timestamps is None:
+            all_times = x[:, :, 0, 3] / max_timestamp
+        else:
+            all_times = jnp.broadcast_to(
+                timestamps.reshape(1, -1), (b, timestamps.shape[-1])
+            )
+        z, ode_nfe = self.aggregate_and_solve_latent(
+            params, z0, all_times, adjoint=False
+        )
+        y, logp_y, x_rec, cnf_nfe = self.decode(
+            params,
+            state,
+            z,
+            key,
+            num_points=num_points,
+            constant_in_time=constant_in_time,
+            truncate_std=truncate_std,
+            sample_contours=sample_contours,
+        )
+        return y, logp_y, x_rec, tnocs_pred, (ode_nfe, cnf_nfe)

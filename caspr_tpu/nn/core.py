@@ -30,7 +30,7 @@ def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = True):
     """Dense layer params with the PyTorch default init.
 
     torch.nn.Linear initializes weight with kaiming_uniform(a=sqrt(5)) and
@@ -40,18 +40,18 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):
     """
     kw, kb = jax.random.split(key)
     bound = 1.0 / math.sqrt(in_dim)
-    return {
-        "weight": _uniform(kw, (out_dim, in_dim), bound, dtype),
-        "bias": _uniform(kb, (out_dim,), bound, dtype),
-    }
+    params = {"weight": _uniform(kw, (out_dim, in_dim), bound, dtype)}
+    if bias:
+        params["bias"] = _uniform(kb, (out_dim,), bound, dtype)
+    return params
 
 
 def linear(params, x):
-    """y = x @ W^T + b over the last axis. x: (..., in) -> (..., out)."""
-    return (
-        jnp.matmul(x, params["weight"].T, preferred_element_type=x.dtype)
-        + params["bias"]
-    )
+    """y = x @ W^T (+ b) over the last axis. x: (..., in) -> (..., out)."""
+    y = jnp.matmul(x, params["weight"].T, preferred_element_type=x.dtype)
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
 
 
 # A kernel-size-1 Conv1d is exactly a per-point dense layer; the reference

@@ -46,8 +46,21 @@ def farthest_point_sampling(xyz, num_samples: int):
     caspr/models/pointnet2.py:384: the first selected index is 0 and each
     subsequent pick maximizes the minimum squared distance to the selected
     set (ties resolved to the lowest index, as argmax does).
+
+    When num_samples >= N, FPS selects every point (in some order); since
+    every consumer treats the selected centroids as a set (ball query per
+    centroid, 3-NN interpolation back to finer levels), we return the
+    identity order and skip the sequential loop entirely — this is the
+    common case for the first set-abstraction level at training resolution
+    (N=1024 -> M=1024).
     """
     n = xyz.shape[-2]
+    if num_samples >= n:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((num_samples - n,), jnp.int32)]
+        ) if num_samples > n else idx
+        return jnp.broadcast_to(idx, (xyz.shape[0], num_samples))
 
     def one_cloud(pts):  # (N, 3)
         def body(i, state):
@@ -97,7 +110,18 @@ def ball_query(xyz, new_xyz, radius: float, num_samples: int):
     mask = d2 < (radius * radius)
     pos_key = jnp.arange(n, 0, -1, dtype=jnp.int32)  # N - position
     keys = jnp.where(mask, pos_key, 0)
-    top_vals, top_idx = lax.top_k(keys, num_samples)  # (B, M, K)
+    k_eff = min(num_samples, n)
+    top_vals, top_idx = lax.top_k(keys, k_eff)  # (B, M, K')
+    if k_eff < num_samples:  # more ball slots than source points: pad
+        pad = num_samples - k_eff
+        top_vals = jnp.concatenate(
+            [top_vals, jnp.zeros(top_vals.shape[:-1] + (pad,), top_vals.dtype)],
+            axis=-1,
+        )
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros(top_idx.shape[:-1] + (pad,), top_idx.dtype)],
+            axis=-1,
+        )
     valid = top_vals > 0
     first_hit = top_idx[..., :1]
     any_hit = valid[..., :1]

@@ -1,0 +1,196 @@
+"""jit-compiled train/eval steps and the epoch runner.
+
+Loss semantics replicate reference caspr/utils/train_utils.py:82-233:
+  - CNF loss: weight * mean over (B,T) of the per-step NLL summed over
+    points (train_utils.py:153-156)
+  - TNOCS loss: weight * mean of the per-point L1 over all of B,T,N,4
+    (train_utils.py:161-165)
+Adam matches torch.optim.Adam including its additive weight decay
+(gradient += wd * param before the moment updates).
+
+The reference's DataParallel odd-batch skip (train_utils.py:116-118) has no
+TPU analogue: GSPMD sharding requires the batch to divide the mesh, which
+the loader guarantees with drop_last.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import CaSPRModel
+from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from .trackers import TestStatTracker, log, print_stats
+
+
+def make_optimizer(lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
+    """torch.optim.Adam equivalent (reference caspr/train.py:135-136)."""
+    chain = []
+    if weight_decay > 0.0:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
+def compute_losses(out, cnf_loss_weight, tnocs_loss_weight):
+    """Weighted scalar loss + components from the model's unreduced output."""
+    zero = jnp.zeros((), jnp.float32)
+    cnf_loss = zero
+    tnocs_loss = zero
+    if "nll" in out:
+        per_step_nll = jnp.sum(out["nll"], axis=2)  # (B, T)
+        cnf_loss = cnf_loss_weight * jnp.mean(per_step_nll)
+    if "tnocs_loss" in out:
+        tnocs_loss = tnocs_loss_weight * jnp.mean(out["tnocs_loss"][..., :4])
+    return cnf_loss + tnocs_loss, cnf_loss, tnocs_loss
+
+
+def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
+    """Returns jitted step(params, opt_state, mbn_state, x, target, key)."""
+
+    def step(params, opt_state, mbn_state, x, target, key):
+        def loss_fn(p):
+            out, new_state = model.forward(
+                p, mbn_state, x, target, key, training=True
+            )
+            loss, cnf_loss, tnocs_loss = compute_losses(
+                out, cnf_loss_weight, tnocs_loss_weight
+            )
+            aux = {
+                "cnf_loss": cnf_loss,
+                "tnocs_loss": tnocs_loss,
+                "nfe": out["nfe"],
+                "mean_nll": jnp.mean(out["nll"]) if "nll" in out else 0.0,
+                "tnocs_per_point": (
+                    out["tnocs_loss"] if "tnocs_loss" in out else None
+                ),
+                "new_state": new_state,
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": loss,
+            "cnf_loss": aux["cnf_loss"],
+            "tnocs_loss": aux["tnocs_loss"],
+            "mean_nll": aux["mean_nll"],
+            "nfe": jnp.stack(
+                [aux["nfe"][0].astype(jnp.float32), aux["nfe"][1].astype(jnp.float32)]
+            ),
+        }
+        if aux["tnocs_per_point"] is not None:
+            sp = aux["tnocs_per_point"]
+            metrics["tnocs_pos_err"] = jnp.mean(
+                jnp.linalg.norm(sp[..., :3], axis=-1)
+            )
+            metrics["tnocs_time_err"] = jnp.mean(sp[..., 3])
+        return new_params, new_opt_state, aux["new_state"], metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_step(model: CaSPRModel, cnf_loss_weight, tnocs_loss_weight):
+    """Returns jitted eval(params, mbn_state, x, target, key) -> metrics.
+    Per-point errors are returned unreduced for the streaming trackers."""
+
+    def step(params, mbn_state, x, target, key):
+        out, _ = model.forward(params, mbn_state, x, target, key, training=False)
+        loss, cnf_loss, tnocs_loss = compute_losses(
+            out, cnf_loss_weight, tnocs_loss_weight
+        )
+        b, t, n, _ = target.shape
+        nll = out.get("nll", jnp.zeros((b, t, n), jnp.float32))
+        tn = out.get("tnocs_loss", jnp.zeros((b, t, n, 4), jnp.float32))
+        return {
+            "loss": loss,
+            "cnf_loss": cnf_loss,
+            "tnocs_loss": tnocs_loss,
+            "nll": nll,
+            "tnocs_pos_err": jnp.linalg.norm(tn[..., :3], axis=-1).reshape(-1),
+            "tnocs_time_err": tn[..., 3].reshape(-1),
+            "nfe": jnp.stack(
+                [out["nfe"][0].astype(jnp.float32), out["nfe"][1].astype(jnp.float32)]
+            ),
+        }
+
+    return jax.jit(step)
+
+
+def run_one_epoch(
+    step_fn,
+    params,
+    opt_state,
+    mbn_state,
+    loader,
+    key,
+    epoch,
+    loss_tracker,
+    log_out,
+    mode="train",
+    print_stats_every=10,
+    mesh=None,
+):
+    """Host-side epoch driver (reference train_utils.py:82-233).
+
+    For mode='train', step_fn must be a train step; otherwise an eval step
+    and loss_tracker a TestStatTracker.  Returns updated
+    (params, opt_state, mbn_state, key).
+    """
+    num_batches = len(loader)
+    batch_losses = []
+    for i, batch in enumerate(loader):
+        key, sub = jax.random.split(key)
+        x = jnp.asarray(batch["input"])
+        target = jnp.asarray(batch["target"])
+        if mesh is not None:
+            x, target = shard_batch(mesh, (x, target))
+
+        if mode == "train":
+            params, opt_state, mbn_state, metrics = step_fn(
+                params, opt_state, mbn_state, x, target, sub
+            )
+            batch_losses.append(float(metrics["loss"]))
+            if i % print_stats_every == 0:
+                loss_tracker.record_train_step(
+                    float(np.mean(batch_losses)),
+                    float(metrics["cnf_loss"]),
+                    float(metrics["tnocs_loss"]),
+                    epoch * num_batches + i,
+                )
+                print_stats(
+                    log_out,
+                    epoch,
+                    i,
+                    num_batches,
+                    float(np.mean(batch_losses)),
+                    float(metrics.get("mean_nll", 0.0)),
+                    float(metrics.get("tnocs_pos_err", 0.0)),
+                    float(metrics.get("tnocs_time_err", 0.0)),
+                    "TRAIN",
+                )
+                batch_losses = []
+        else:
+            metrics = step_fn(params, mbn_state, x, target, sub)
+            loss_tracker.record_stats(
+                float(metrics["loss"]),
+                np.asarray(metrics["nll"]),
+                np.asarray(metrics["tnocs_pos_err"]),
+                np.asarray(metrics["tnocs_time_err"]),
+                np.asarray(metrics["nfe"]),
+            )
+            if i % print_stats_every == 0:
+                means = loss_tracker.get_mean_stats()
+                print_stats(
+                    log_out, epoch, i, num_batches, means[0], means[1],
+                    means[2], means[3], mode.upper(), means[4]
+                )
+    return params, opt_state, mbn_state, key
