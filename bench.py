@@ -19,6 +19,14 @@ import json
 import time
 
 import jax
+
+try:
+    from caspr_tpu.utils.runtime import enable_compile_cache
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from caspr_tpu.utils.runtime import enable_compile_cache
+enable_compile_cache()
 import jax.numpy as jnp
 
 VS_BASELINE_REF = 1.0  # estimated reference V100 seqs/sec (see docstring)

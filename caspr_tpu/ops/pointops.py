@@ -39,7 +39,33 @@ def pairwise_sqdist(a, b):
     return jnp.sum(diff * diff, axis=-1)
 
 
+def _use_pallas() -> bool:
+    """Pallas kernels on TPU-class backends; XLA elsewhere.  Overridable
+    with CASPR_TPU_KERNELS=pallas|xla."""
+    import os
+
+    mode = os.environ.get("CASPR_TPU_KERNELS", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
+
+
 def farthest_point_sampling(xyz, num_samples: int):
+    """Dispatching FPS: Pallas kernel on TPU (VMEM-resident argmax chain),
+    XLA fori_loop elsewhere.  Semantics identical."""
+    if _use_pallas():
+        from .pallas_kernels import farthest_point_sampling_pallas
+
+        return farthest_point_sampling_pallas(xyz, num_samples)
+    return farthest_point_sampling_xla(xyz, num_samples)
+
+
+def farthest_point_sampling_xla(xyz, num_samples: int):
     """Iterative farthest point sampling. xyz: (B, N, 3) -> (B, M) int32.
 
     Matches the Kaolin CUDA kernel used at reference

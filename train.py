@@ -13,6 +13,14 @@ import os
 import sys
 
 import jax
+
+try:
+    from caspr_tpu.utils.runtime import enable_compile_cache
+except ImportError:
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from caspr_tpu.utils.runtime import enable_compile_cache
+enable_compile_cache()
 import numpy as np
 
 from caspr_tpu.data import DynamicPCLDataset, SequenceLoader
