@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 VS_BASELINE_REF = 1.0  # estimated reference V100 seqs/sec (see docstring)
 
-BATCH = 2  # reference eval batch for the recon protocol (README.md:89)
+BATCH = 8  # throughput batch; the reference protocol itself used 2 on a 16GB V100
 T, N = 10, 2048
 
 
@@ -55,15 +55,20 @@ def main():
         )
         return pred, nfe
 
+    def sync(arr):
+        # 1-element host transfer: reliable sync on the remote TPU backend
+        import numpy as _np
+        _np.asarray(arr[(0,) * arr.ndim])
+
     # warmup / compile
     pred, nfe = recon(params, state, x, key)
-    jax.block_until_ready(pred)
+    sync(pred)
 
     iters = 5
     start = time.perf_counter()
     for i in range(iters):
         pred, nfe = recon(params, state, x, jax.random.fold_in(key, i))
-    jax.block_until_ready(pred)
+    sync(pred)  # FIFO device queue: last-result sync covers all iterations
     elapsed = time.perf_counter() - start
 
     seqs_per_sec = BATCH * iters / elapsed

@@ -297,6 +297,19 @@ def mbn_apply(params, state, cfg: CNFConfig, x, logpx, reverse, training):
     return y, logp, new_state
 
 
+def flow_total_time(params, cfg: CNFConfig):
+    """Sum of (trainable) flow end-times across CNF blocks, the analogue of
+    reference flow.py:29-41 count_total_time."""
+    total = 0.0
+    for kind, p in zip(cfg.chain(), params):
+        if kind == "cnf":
+            if cfg.train_T:
+                total = total + p["sqrt_end_time"] * p["sqrt_end_time"]
+            else:
+                total = total + cfg.time_length
+    return total
+
+
 # -------------------------- sequential flow --------------------------------
 
 

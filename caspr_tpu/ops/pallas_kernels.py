@@ -1,15 +1,17 @@
 """Pallas TPU kernels for the sequential/hot point-cloud ops.
 
-Currently: farthest point sampling.  FPS is an inherently sequential
-argmax chain (M dependent iterations); under plain XLA each iteration is a
-while-loop step with its own HBM round-trips for the running min-distance
-vector.  The Pallas kernel keeps coordinates and the min-distance vector
-resident in VMEM for the whole chain — one program per cloud, pure VPU
-work inside (SURVEY.md §2.2 plan).
+Farthest point sampling: an inherently sequential argmax chain (M dependent
+iterations).  Under plain XLA each iteration is a while-loop step paying
+HBM round-trips for the running min-distance vector; the kernel instead
+keeps everything VMEM-resident AND runs all clouds of the batch in
+lockstep — batch rides the sublane axis, points ride the lane axis, so one
+iteration of the chain advances every cloud with full-width VPU ops
+(SURVEY.md §2.2 plan).  M iterations total regardless of batch size,
+instead of B*M sequential iterations.
 
-Selection semantics match ops.pointops.farthest_point_sampling (seed index
-0, max-min-distance, lowest-index tie-break) so the two dispatch
-interchangeably.
+Selection semantics match ops.pointops.farthest_point_sampling_xla (seed
+index 0, max-min-squared-distance, lowest-index tie-break) so the two
+dispatch interchangeably.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_ROWS = 32  # clouds per grid program (sublane tile)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -29,43 +32,55 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(num_samples, n, xs_ref, ys_ref, zs_ref, idx_ref):
-    """One grid program = one cloud.
+    """One grid program = a tile of _ROWS clouds, advanced in lockstep.
 
-    xs/ys/zs: (1, N_pad) coordinate rows in VMEM (padding beyond n).
-    idx_ref:  (1, M_pad) int32 output; entries >= num_samples unused.
+    xs/ys/zs: (R, N_pad) coordinates in VMEM (one cloud per row).
+    idx_ref:  (R, M_pad) int32 output.
     """
-    n_pad = xs_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-    valid = lane < n
-
     xs = xs_ref[:]
     ys = ys_ref[:]
     zs = zs_ref[:]
+    rows, n_pad = xs.shape
+    m_pad = idx_ref.shape[1]
 
-    idx_ref[0, 0] = 0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+    valid = lane < n
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, m_pad), 1)
 
     def body(i, carry):
-        min_d, last = carry
-        # coords of the last selected point via masked reduction (dynamic
-        # single-lane loads are slow on TPU; a full-row select is one VPU op)
-        sel = (lane == last).astype(xs.dtype)
-        cx = jnp.sum(xs * sel)
-        cy = jnp.sum(ys * sel)
-        cz = jnp.sum(zs * sel)
+        min_d, last, out = carry
+        # per-row coords of each row's last pick via masked row reduction
+        sel = (lane == last).astype(xs.dtype)  # last: (R, 1)
+        cx = jnp.sum(xs * sel, axis=1, keepdims=True)
+        cy = jnp.sum(ys * sel, axis=1, keepdims=True)
+        cz = jnp.sum(zs * sel, axis=1, keepdims=True)
         d = (
             (xs - cx) * (xs - cx)
             + (ys - cy) * (ys - cy)
             + (zs - cz) * (zs - cz)
         )
         min_d = jnp.minimum(min_d, d)
-        # padding lanes hold -inf and are never selected
-        nxt = jnp.argmax(min_d).astype(jnp.int32)
-        idx_ref[0, i] = nxt
-        return min_d, nxt
+        # row-wise argmax via max + lowest-matching-lane (Mosaic's native
+        # argmax lowering rejects some tile shapes; this is two reductions)
+        row_max = jnp.max(min_d, axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(min_d == row_max, lane, jnp.int32(n_pad)),
+            axis=1,
+            keepdims=True,
+        ).astype(jnp.int32)
+        out = jnp.where(out_lane == i, nxt, out)
+        return min_d, nxt, out
 
-    init_min = jnp.where(valid, jnp.full((1, n_pad), jnp.inf, xs.dtype),
-                         -jnp.inf)
-    jax.lax.fori_loop(1, num_samples, body, (init_min, jnp.int32(0)))
+    init_min = jnp.where(
+        valid,
+        jnp.full((rows, n_pad), jnp.inf, xs.dtype),
+        jnp.full((rows, n_pad), -jnp.inf, xs.dtype),
+    )
+    init_out = jnp.zeros((rows, m_pad), jnp.int32)  # slot 0 = seed index 0
+    _, _, out = jax.lax.fori_loop(
+        1, num_samples, body, (init_min, jnp.zeros((rows, 1), jnp.int32), init_out)
+    )
+    idx_ref[:] = out
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -73,8 +88,7 @@ def farthest_point_sampling_pallas(xyz, num_samples: int):
     """Pallas FPS. xyz: (B, N, 3) -> (B, M) int32.
 
     Falls back to identity ordering when num_samples >= N (set-equivalent;
-    see ops.pointops.farthest_point_sampling).
-    """
+    see ops.pointops.farthest_point_sampling_xla)."""
     b, n, _ = xyz.shape
     if num_samples >= n:
         idx = jnp.arange(n, dtype=jnp.int32)
@@ -84,22 +98,29 @@ def farthest_point_sampling_pallas(xyz, num_samples: int):
             )
         return jnp.broadcast_to(idx, (b, num_samples))
 
+    rows = _ROWS if b > _ROWS else _round_up(max(b, 1), 8)
+    b_pad = _round_up(b, rows)
     n_pad = _round_up(n, _LANES)
     m_pad = _round_up(num_samples, _LANES)
-    coords = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad - n), (0, 0)))
-    xs = coords[..., 0]  # (B, N_pad)
+    coords = jnp.pad(
+        xyz.astype(jnp.float32),
+        ((0, b_pad - b), (0, n_pad - n), (0, 0)),
+    )
+    xs = coords[..., 0]
     ys = coords[..., 1]
     zs = coords[..., 2]
 
     kernel = functools.partial(_fps_kernel, num_samples, n)
-    row = pl.BlockSpec((1, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec(
+        (rows, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[row, row, row],
+        grid=(b_pad // rows,),
+        in_specs=[tile, tile, tile],
         out_specs=pl.BlockSpec(
-            (1, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (rows, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.int32),
     )(xs, ys, zs)
-    return out[:, :num_samples]
+    return out[:b, :num_samples]

@@ -1,0 +1,67 @@
+"""Kernel micro-benchmarks on the current default device (TPU)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from caspr_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
+import jax.numpy as jnp
+import numpy as np
+
+from caspr_tpu.ops.pointops import ball_query, farthest_point_sampling_xla
+from caspr_tpu.ops.pallas_kernels import farthest_point_sampling_pallas
+
+
+def sync(o):
+    for leaf in jax.tree_util.tree_leaves(o):
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def timeit(fn, *args, iters=5):
+    out = fn(*args)
+    sync(out)
+    start = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args)
+    sync(out)  # FIFO device queue: last-result sync covers all iterations
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+
+    rtt = timeit(jax.jit(lambda x: x + 1.0), jnp.ones((8, 128)))
+    print(f"tunnel round-trip floor: {rtt*1000:.1f} ms")
+
+    for b, n, m in [(20, 2048, 1024), (20, 1024, 512), (160, 2048, 1024)]:
+        xyz = jax.random.normal(key, (b, n, 3)) * 0.3
+        t_x = timeit(
+            jax.jit(lambda p: farthest_point_sampling_xla(p, m)), xyz
+        )
+        t_p = timeit(
+            jax.jit(lambda p: farthest_point_sampling_pallas(p, m)), xyz
+        )
+        same = np.array_equal(
+            np.asarray(farthest_point_sampling_xla(xyz, m)),
+            np.asarray(farthest_point_sampling_pallas(xyz, m)),
+        )
+        print(
+            f"fps B{b} N{n}->M{m}: xla {t_x*1000:.1f} ms, "
+            f"pallas {t_p*1000:.1f} ms, match={same}"
+        )
+
+    xyz = jax.random.normal(key, (20, 2048, 3)) * 0.3
+    cent = xyz[:, :1024]
+    t_bq = timeit(jax.jit(lambda a, c: ball_query(a, c, 0.05, 32)), xyz, cent)
+    print(f"ball query 20x(1024 of 2048) K32: {t_bq*1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,13 +41,20 @@ def timeit(fn, *args, iters=5, warmup=1, vary=0):
         )
         return fn(*a)
 
+    def sync(o):
+        # the remote axon backend does not reliably block in
+        # block_until_ready; force a 1-element host transfer instead
+        import numpy as _np
+        for leaf in jax.tree_util.tree_leaves(o):
+            _np.asarray(leaf[(0,) * leaf.ndim])
+
     for _ in range(warmup):
         out = call(0)
-    jax.block_until_ready(out)
+    sync(out)
     start = time.perf_counter()
     for i in range(1, iters + 1):
         out = call(i)
-    jax.block_until_ready(out)
+        sync(out)
     return (time.perf_counter() - start) / iters
 
 
