@@ -62,6 +62,48 @@ def main():
     t_bq = timeit(jax.jit(lambda a, c: ball_query(a, c, 0.05, 32)), xyz, cent)
     print(f"ball query 20x(1024 of 2048) K32: {t_bq*1000:.1f} ms")
 
+    # realistic full-eval batch: all SA-level queries in one jit
+    from caspr_tpu.ops.pointops import three_nn
+
+    levels = [(2048, 1024), (1024, 512), (512, 256), (256, 64), (64, 16)]
+
+    def all_queries(pts):
+        outs = []
+        cur = pts
+        for n_in, m in levels:
+            cent = cur[:, :m]
+            outs.append(ball_query(cur, cent, 0.05, 16))
+            outs.append(ball_query(cur, cent, 0.1, 32))
+            cur = cent
+        return outs
+
+    big = jax.random.normal(key, (80, 2048, 3)) * 0.3
+    t_all = timeit(jax.jit(all_queries), big)
+    print(f"all ball queries B80 (10 calls): {t_all*1000:.1f} ms")
+
+    def all_fps(pts):
+        outs = []
+        cur = pts
+        for n_in, m in levels:
+            idx = farthest_point_sampling_pallas(cur, m)
+            cur = jnp.take_along_axis(cur, idx[..., None], axis=1)
+            outs.append(idx)
+        return outs
+
+    t_fps_all = timeit(jax.jit(all_fps), big)
+    print(f"all fps levels B80 (pallas): {t_fps_all*1000:.1f} ms")
+
+    def all_threenn(pts):
+        outs = []
+        cur = pts
+        for n_in, m in levels:
+            outs.append(three_nn(cur, cur[:, :m]))
+            cur = cur[:, :m]
+        return outs
+
+    t_3nn = timeit(jax.jit(all_threenn), big)
+    print(f"all three_nn B80 (5 calls): {t_3nn*1000:.1f} ms")
+
 
 if __name__ == "__main__":
     main()
