@@ -116,6 +116,16 @@ def gather_points(points, idx):
 
 
 def ball_query(xyz, new_xyz, radius: float, num_samples: int):
+    """Dispatching ball query: Pallas VMEM extraction kernel on TPU, XLA
+    top_k elsewhere.  Semantics identical (see ball_query_xla)."""
+    if _use_pallas():
+        from .pallas_kernels import ball_query_pallas
+
+        return ball_query_pallas(xyz, new_xyz, radius, num_samples)
+    return ball_query_xla(xyz, new_xyz, radius, num_samples)
+
+
+def ball_query_xla(xyz, new_xyz, radius: float, num_samples: int):
     """Indices of the first ``num_samples`` points of ``xyz`` within
     ``radius`` of each centroid, padded with the first hit.
 
@@ -176,6 +186,16 @@ def group_points(xyz, new_xyz, features, idx, use_xyz_feature: bool = True):
 
 
 def three_nn(query_xyz, source_xyz):
+    """Dispatching 3-NN: Pallas extraction kernel on TPU, XLA top_k
+    elsewhere (see three_nn_xla)."""
+    if _use_pallas():
+        from .pallas_kernels import three_nn_pallas
+
+        return three_nn_pallas(query_xyz, source_xyz)
+    return three_nn_xla(query_xyz, source_xyz)
+
+
+def three_nn_xla(query_xyz, source_xyz):
     """3 nearest neighbors of each query among source points.
 
     query_xyz: (B, N, 3), source_xyz: (B, M, 3)

@@ -6,8 +6,16 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
-from caspr_tpu.ops.pointops import farthest_point_sampling_xla
-from caspr_tpu.ops.pallas_kernels import farthest_point_sampling_pallas
+from caspr_tpu.ops.pointops import (
+    ball_query,
+    farthest_point_sampling_xla,
+    three_nn,
+)
+from caspr_tpu.ops.pallas_kernels import (
+    ball_query_pallas,
+    farthest_point_sampling_pallas,
+    three_nn_pallas,
+)
 
 
 def test_fps_pallas_matches_xla_interpret():
@@ -24,3 +32,40 @@ def test_fps_pallas_identity_shortcut():
     xyz = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
     got = np.asarray(farthest_point_sampling_pallas(xyz, 16))
     np.testing.assert_array_equal(got, np.tile(np.arange(16), (2, 1)))
+
+
+def test_ball_query_pallas_matches_xla_interpret():
+    rng = np.random.RandomState(2)
+    xyz = jnp.asarray(rng.randn(3, 200, 3).astype(np.float32) * 0.3)
+    cent = xyz[:, :48]
+    want = np.asarray(ball_query(xyz, cent, 0.3, 6))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ball_query_pallas(xyz, cent, 0.3, 6))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_pallas_empty_ball_interpret():
+    xyz = jnp.ones((1, 40, 3), jnp.float32)
+    cent = jnp.zeros((1, 8, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ball_query_pallas(xyz, cent, 0.05, 4))
+    np.testing.assert_array_equal(got, np.zeros((1, 8, 4), np.int32))
+
+
+def test_three_nn_pallas_matches_xla_interpret():
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 120, 3).astype(np.float32) * 0.4)
+    s = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32) * 0.4)
+    want_d, want_i = three_nn(q, s)
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = three_nn_pallas(q, s)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got_d), axis=-1),
+        np.sort(np.asarray(want_d), axis=-1),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+    # index sets must agree (ordering may differ on exact ties only)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(got_i), axis=-1), np.sort(np.asarray(want_i), axis=-1)
+    )

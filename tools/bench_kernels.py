@@ -15,8 +15,12 @@ enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
-from caspr_tpu.ops.pointops import ball_query, farthest_point_sampling_xla
-from caspr_tpu.ops.pallas_kernels import farthest_point_sampling_pallas
+from caspr_tpu.ops.pointops import ball_query_xla as ball_query_x, farthest_point_sampling_xla
+from caspr_tpu.ops.pallas_kernels import (
+    ball_query_pallas,
+    farthest_point_sampling_pallas,
+    three_nn_pallas,
+)
 
 
 def sync(o):
@@ -57,13 +61,7 @@ def main():
             f"pallas {t_p*1000:.1f} ms, match={same}"
         )
 
-    xyz = jax.random.normal(key, (20, 2048, 3)) * 0.3
-    cent = xyz[:, :1024]
-    t_bq = timeit(jax.jit(lambda a, c: ball_query(a, c, 0.05, 32)), xyz, cent)
-    print(f"ball query 20x(1024 of 2048) K32: {t_bq*1000:.1f} ms")
-
     # realistic full-eval batch: all SA-level queries in one jit
-    from caspr_tpu.ops.pointops import three_nn
 
     levels = [(2048, 1024), (1024, 512), (512, 256), (256, 64), (64, 16)]
 
@@ -72,14 +70,20 @@ def main():
         cur = pts
         for n_in, m in levels:
             cent = cur[:, :m]
-            outs.append(ball_query(cur, cent, 0.05, 16))
-            outs.append(ball_query(cur, cent, 0.1, 32))
+            outs.append(bq(cur, cent, 0.05, 16))
+            outs.append(bq(cur, cent, 0.1, 32))
             cur = cent
         return outs
 
     big = jax.random.normal(key, (80, 2048, 3)) * 0.3
-    t_all = timeit(jax.jit(all_queries), big)
-    print(f"all ball queries B80 (10 calls): {t_all*1000:.1f} ms")
+    for name, bq_impl in [("xla", ball_query_x), ("pallas", ball_query_pallas)]:
+        bq = bq_impl
+        t_all = timeit(jax.jit(all_queries), big)
+        print(f"all ball queries B80 (10 calls, {name}): {t_all*1000:.1f} ms")
+    # cross-check on device
+    a = np.asarray(ball_query_x(big[:2], big[:2, :256], 0.1, 32))
+    b = np.asarray(ball_query_pallas(big[:2], big[:2, :256], 0.1, 32))
+    print("ball query device match:", np.array_equal(a, b))
 
     def all_fps(pts):
         outs = []
@@ -93,16 +97,20 @@ def main():
     t_fps_all = timeit(jax.jit(all_fps), big)
     print(f"all fps levels B80 (pallas): {t_fps_all*1000:.1f} ms")
 
+    from caspr_tpu.ops.pointops import three_nn_xla
+
     def all_threenn(pts):
         outs = []
         cur = pts
         for n_in, m in levels:
-            outs.append(three_nn(cur, cur[:, :m]))
+            outs.append(nn3(cur, cur[:, :m]))
             cur = cur[:, :m]
         return outs
 
-    t_3nn = timeit(jax.jit(all_threenn), big)
-    print(f"all three_nn B80 (5 calls): {t_3nn*1000:.1f} ms")
+    for name, nn3_impl in [("xla", three_nn_xla), ("pallas", three_nn_pallas)]:
+        nn3 = nn3_impl
+        t_3nn = timeit(jax.jit(all_threenn), big)
+        print(f"all three_nn B80 (5 calls, {name}): {t_3nn*1000:.1f} ms")
 
 
 if __name__ == "__main__":
