@@ -10,3 +10,4 @@ from .export import (
     PRED_OFFSET,
     BASE_OFFSET,
 )
+from .html_viewer import export_html_viewer

@@ -85,6 +85,14 @@ def export_pcl_seq(
         )
 
     _export_animation(scene_dir, merged_frames, merged_colors, fps)
+    from .html_viewer import export_html_viewer
+
+    export_html_viewer(
+        os.path.join(scene_dir, "viewer.html"),
+        pcl_seqs,
+        rgb_seqs,
+        fps=fps,
+    )
     return scene_dir
 
 
