@@ -44,6 +44,12 @@ def get_general_options(parser: argparse.ArgumentParser):
                         help="Weight for NLL loss")
     parser.add_argument("--tnocs-loss", type=float, default=100.0,
                         help="Weight for TNOCS regression loss")
+    parser.add_argument("--matmul-precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="TPU matmul precision: 'highest' forces full "
+                             "f32 for closest parity with the reference's "
+                             "CUDA fp32 numerics; 'default' uses the fast "
+                             "bf16-based passes (new flag).")
     return parser
 
 
@@ -129,6 +135,14 @@ def get_viz_options(parser: argparse.ArgumentParser):
     parser.set_defaults(prob_color_map=False)
     parser.add_argument("--seed", type=int, default=0)
     return parser
+
+
+def apply_runtime_flags(flags):
+    """Apply global runtime knobs picked via CLI."""
+    import jax
+
+    if getattr(flags, "matmul_precision", "default") != "default":
+        jax.config.update("jax_default_matmul_precision", flags.matmul_precision)
 
 
 def caspr_config_from_flags(flags):

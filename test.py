@@ -41,6 +41,7 @@ from caspr_tpu.utils.evaluations import (
     test_tnocs_regression,
 )
 from caspr_tpu.utils.config import (
+    apply_runtime_flags,
     caspr_config_from_flags,
     get_general_options,
     get_test_options,
@@ -60,6 +61,7 @@ def test(flags):
     log_out = os.path.join(flags.out, flags.log)
     log(log_out, flags)
 
+    apply_runtime_flags(flags)
     cfg = caspr_config_from_flags(flags)
     model = CaSPRModel(cfg)
     key = jax.random.PRNGKey(flags.seed)

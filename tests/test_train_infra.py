@@ -1,0 +1,123 @@
+"""Training-infrastructure tests: checkpoint round trips, tolerant loads,
+warping-cars (--no-regress-tnocs) mode, optimizer parity pieces."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from caspr_tpu.models.caspr import CaSPRConfig, CaSPRModel, caspr_init
+from caspr_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_encoder_weights_from_full,
+    load_weights,
+    save_checkpoint,
+)
+from caspr_tpu.train.loop import compute_losses, make_optimizer
+
+TINY = dict(
+    sa_points=(16, 8, 8, 4, 4),
+    ball_samples=(4, 8),
+    local_feat_size=64,
+    latent_feat_size=160,
+    ode_hidden_size=32,
+    motion_feat_size=16,
+    global_feat_size=128,
+    cnf_dims=(32, 32),
+)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    cfg = CaSPRConfig(**TINY)
+    params, state = caspr_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    save_checkpoint(path, params, state, opt_state, epoch=7)
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(ckpt["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "opt_state" in ckpt
+
+
+def test_load_weights_tolerant():
+    cfg = CaSPRConfig(**TINY)
+    params, _ = caspr_init(jax.random.PRNGKey(0), cfg)
+    other, _ = caspr_init(jax.random.PRNGKey(1), cfg)
+    # drop a subtree and add an unexpected key
+    partial = {k: v for k, v in other.items() if k != "latent_ode"}
+    partial["bogus"] = {"weight": np.zeros(3)}
+    merged = load_weights(params, partial)
+    # encoder came from `other`
+    np.testing.assert_array_equal(
+        np.asarray(merged["encoder"]["conv1"]["weight"]),
+        np.asarray(other["encoder"]["conv1"]["weight"]),
+    )
+    # missing subtree kept the original values
+    np.testing.assert_array_equal(
+        np.asarray(merged["latent_ode"]["layer0"]["weight"]),
+        np.asarray(params["latent_ode"]["layer0"]["weight"]),
+    )
+    assert "bogus" not in merged
+
+
+def test_load_encoder_only():
+    cfg = CaSPRConfig(**TINY)
+    params, _ = caspr_init(jax.random.PRNGKey(0), cfg)
+    donor, _ = caspr_init(jax.random.PRNGKey(2), cfg)
+    merged = load_encoder_weights_from_full(params, donor)
+    np.testing.assert_array_equal(
+        np.asarray(merged["encoder"]["conv2"]["weight"]),
+        np.asarray(donor["encoder"]["conv2"]["weight"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["point_cnf"][1]["sqrt_end_time"]),
+        np.asarray(params["point_cnf"][1]["sqrt_end_time"]),
+    )
+
+
+def test_no_regress_tnocs_mode():
+    """Warping-cars recipe: --no-regress-tnocs trains on CNF NLL only
+    (reference config_utils.py:38-39, caspr.py:92-99)."""
+    cfg = CaSPRConfig(regress_tnocs=False, **TINY)
+    params, state = caspr_init(jax.random.PRNGKey(0), cfg)
+    assert "conv3" not in params["encoder"]
+    model = CaSPRModel(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 2, 32, 4))
+    x = x.at[..., 3].set(jnp.array([0.0, 1.0])[None, :, None])
+    out, _ = model.forward(params, state, x, x, jax.random.PRNGKey(2))
+    assert "tnocs_loss" not in out
+    assert out["nll"].shape == (1, 2, 32)
+    loss, cnf_l, tnocs_l = compute_losses(out, 0.01, 100.0)
+    assert float(tnocs_l) == 0.0
+    assert float(loss) == float(cnf_l)
+
+
+def test_adam_matches_torch_semantics():
+    """Our optax chain must reproduce torch.optim.Adam (incl. additive
+    weight decay) — one step on a quadratic."""
+    torch = pytest.importorskip("torch")
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    g = np.array([0.5, 0.25, -1.0], np.float32)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.Adam([tw], lr=1e-2, betas=(0.9, 0.999), eps=1e-8,
+                           weight_decay=0.1)
+    tw.grad = torch.tensor(g)
+    opt.step()
+    want = tw.detach().numpy()
+
+    tx = make_optimizer(1e-2, (0.9, 0.999), 1e-8, weight_decay=0.1)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    import optax
+
+    updates, _ = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+    got = np.asarray(optax.apply_updates(params, updates)["w"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

@@ -44,6 +44,7 @@ from caspr_tpu.train.loop import (
     run_one_epoch,
 )
 from caspr_tpu.utils.config import (
+    apply_runtime_flags,
     caspr_config_from_flags,
     get_general_options,
     get_train_options,
@@ -100,6 +101,7 @@ def train(flags):
         num_workers=flags.num_workers,
     )
 
+    apply_runtime_flags(flags)
     cfg = caspr_config_from_flags(flags)
     model = CaSPRModel(cfg)
     key = jax.random.PRNGKey(flags.seed)

@@ -29,6 +29,7 @@ from caspr_tpu.data import DynamicPCLDataset, SequenceLoader
 from caspr_tpu.models import CaSPRModel, caspr_init
 from caspr_tpu.train import load_checkpoint, load_weights, load_encoder_weights_from_full, log
 from caspr_tpu.utils.config import (
+    apply_runtime_flags,
     caspr_config_from_flags,
     get_general_options,
     get_viz_options,
@@ -60,6 +61,7 @@ def viz(flags):
     log_out = os.path.join(flags.out, "viz_log.txt")
     log(log_out, flags)
 
+    apply_runtime_flags(flags)
     cfg = caspr_config_from_flags(flags)
     model = CaSPRModel(cfg)
     key = jax.random.PRNGKey(flags.seed)
