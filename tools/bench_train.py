@@ -25,7 +25,11 @@ import numpy as np
 from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
 from caspr_tpu.train.loop import make_optimizer, make_train_step
 
-B, T, N = 5, 5, 1024
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=5)
+_args, _ = _ap.parse_known_args()
+B, T, N = _args.batch, 5, 1024
 
 
 def main():
