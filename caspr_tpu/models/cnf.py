@@ -177,9 +177,14 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
     """
 
     def dynamics(t, states, args):
-        x, _ = states
+        # Solver state rides flattened as (BT, N*D) / (BT, N): a D=3 lane
+        # dimension would pad to 128 on TPU and make every solver
+        # elementwise op (tableau sums, error norms, interpolation) ~40x
+        # wider than necessary.  Reshape only here, around the network.
+        x_flat, _ = states
+        bt = x_flat.shape[0]
+        x = x_flat.reshape(bt, -1, cfg.input_dim)
         t_phys = args["t_end"] - t if reverse else t
-        bt = x.shape[0]
         tc = jnp.concatenate(
             [jnp.full((bt, 1), 1.0, x.dtype) * t_phys, args["context"]], axis=1
         )
@@ -189,7 +194,8 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
 
         e = args["e"]
         dx, jvp_val = jax.jvp(f, (x,), (e,))
-        div = jnp.sum(jvp_val * e, axis=-1, keepdims=True)  # e^T J e
+        div = jnp.sum(jvp_val * e, axis=-1)  # e^T J e, (BT, N)
+        dx = dx.reshape(bt, -1)
         if reverse:
             return (-dx, div)
         return (dx, -div)
@@ -226,10 +232,13 @@ def cnf_block_apply(params, cfg: CNFConfig, x, context, logpx, key, reverse):
     }
     ts = jnp.stack([jnp.zeros_like(t_end), t_end])
     dyn = _make_dynamics(cfg, reverse)
+    bt, n, d = x.shape
+    # lane-packed solver state (see _make_dynamics)
+    state0 = (x.reshape(bt, n * d), logpx.reshape(bt, n))
     (xs, lps), nfe = odeint_adjoint(
-        dyn, (x, logpx), ts, args, rtol=cfg.rtol, atol=cfg.atol
+        dyn, state0, ts, args, rtol=cfg.rtol, atol=cfg.atol
     )
-    return xs[1], lps[1], nfe
+    return xs[1].reshape(bt, n, d), lps[1].reshape(bt, n, 1), nfe
 
 
 # ----------------------- moving batch norm ---------------------------------
