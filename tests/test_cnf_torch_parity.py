@@ -99,11 +99,15 @@ def test_cnf_dynamics_matches_torch_autograd():
         "e": jnp.asarray(e),
         "t_end": jnp.asarray(1.0),
     }
-    dx, neg_div = dyn(jnp.asarray(t_val), (jnp.asarray(x), jnp.zeros((bt, n, 1))), args)
+    # dynamics use the lane-packed state convention: (BT, N*3) / (BT, N)
+    state = (jnp.asarray(x).reshape(bt, n * 3), jnp.zeros((bt, n)))
+    dx, neg_div = dyn(jnp.asarray(t_val), state, args)
 
-    np.testing.assert_allclose(np.asarray(dx), dy_torch, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(
-        -np.asarray(neg_div), div_torch, rtol=1e-3, atol=1e-5
+        np.asarray(dx).reshape(bt, n, 3), dy_torch, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        -np.asarray(neg_div), div_torch[..., 0], rtol=1e-3, atol=1e-5
     )
 
 
@@ -119,7 +123,8 @@ def test_cnf_reverse_dynamics_is_time_reflected():
     fwd = _make_dynamics(cfg, reverse=False)
     rev = _make_dynamics(cfg, reverse=True)
     s = jnp.asarray(0.2)
-    dx_f, dlp_f = fwd(t_end - s, (x, jnp.zeros((2, 5, 1))), args)
-    dx_r, dlp_r = rev(s, (x, jnp.zeros((2, 5, 1))), args)
+    state = (x.reshape(2, 15), jnp.zeros((2, 5)))
+    dx_f, dlp_f = fwd(t_end - s, state, args)
+    dx_r, dlp_r = rev(s, state, args)
     np.testing.assert_allclose(np.asarray(dx_r), -np.asarray(dx_f), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(dlp_r), -np.asarray(dlp_f), rtol=1e-6)
