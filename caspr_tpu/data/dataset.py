@@ -245,6 +245,14 @@ class DynamicPCLDataset:
         self.random_point_sample_per_step = random_point_sample_per_step
         self.return_pose_data = False
         self.return_first_steps = False
+        # native C++ loader by default when it builds (identical output;
+        # see native_loader); CASPR_TPU_NATIVE_LOADER=0 forces numpy
+        if os.environ.get("CASPR_TPU_NATIVE_LOADER", "auto") == "0":
+            self.use_native_loader = False
+        else:
+            from .native_loader import native_available
+
+            self.use_native_loader = native_available()
 
         self.seq_data_paths = load_time_data(
             self.data_paths,
@@ -276,11 +284,20 @@ class DynamicPCLDataset:
         frames = self.seq_data_paths[idx]
         model_id = frames[0].split("/")[-3]
         seq_id = frames[0].split("/")[-2]
-        nocs_seq, depth_seq, pose_seq = load_seq_path(
-            frames,
-            max_timestamp=self.max_timestamp,
-            expected_num_pts=self.expected_num_pts,
-        )
+        if self.use_native_loader:
+            from .native_loader import load_seq_path_native
+
+            nocs_seq, depth_seq, pose_seq = load_seq_path_native(
+                frames,
+                max_timestamp=self.max_timestamp,
+                expected_num_pts=self.expected_num_pts,
+            )
+        else:
+            nocs_seq, depth_seq, pose_seq = load_seq_path(
+                frames,
+                max_timestamp=self.max_timestamp,
+                expected_num_pts=self.expected_num_pts,
+            )
 
         if self.return_first_steps:
             steps = np.arange(self.seq_len)

@@ -99,3 +99,58 @@ def test_loader_pose_data():
     loader = SequenceLoader(ds, batch_size=3, shuffle=False)
     batch = next(iter(loader))
     assert batch["pose"].shape == (3, 2, 4, 4)
+
+
+def test_native_loader_matches_numpy():
+    """The C++ loader must be bit-identical to the numpy reference path."""
+    from caspr_tpu.data.native_loader import (
+        load_seq_path_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    args = parse_dataset_cfg(DEMO_CFG)
+    for model in sorted(os.listdir(args.data[0]))[:2]:
+        seq_dir = os.path.join(args.data[0], model, "seq_00000000")
+        frames = sorted(
+            os.path.join(seq_dir, f)
+            for f in os.listdir(seq_dir)
+            if "frame" in f
+        )
+        a = load_seq_path(frames, 5.0, 4096)
+        b = load_seq_path_native(frames, 5.0, 4096)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_native_loader_blank_and_padding(tmp_path):
+    """Synthetic archives: short frames repeat-pad; a blank frame truncates
+    the remainder of the sequence (caspr_dataset.py:183-195 semantics)."""
+    from caspr_tpu.data.native_loader import (
+        load_seq_path_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native loader not built")
+    rng = np.random.RandomState(0)
+    paths = []
+    datas = []
+    for i, n in enumerate([5, 3, 0]):  # third frame blank
+        nocs = rng.rand(n, 3) if n else np.zeros((4, 3))
+        depth = rng.rand(n, 3) if n else np.zeros((4, 3))
+        pose = np.eye(4)
+        p = os.path.join(tmp_path, f"frame_{i}.npz")
+        np.savez(p, nocs_data=nocs, depth_data=depth, obj_T=pose)
+        paths.append(p)
+        datas.append((nocs, depth))
+    nocs, depth, pose = load_seq_path_native(paths, 2.0, 8)
+    want_nocs, want_depth, want_pose = load_seq_path(paths, 2.0, 8)
+    np.testing.assert_array_equal(nocs, want_nocs)
+    np.testing.assert_array_equal(depth, want_depth)
+    np.testing.assert_array_equal(pose, want_pose)
+    # padding repeats source points cyclically
+    np.testing.assert_array_equal(nocs[0, 5, :3], datas[0][0][0])
+    # blank frame zeroes the tail
+    assert np.count_nonzero(nocs[2]) == 0
