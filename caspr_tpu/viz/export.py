@@ -150,6 +150,25 @@ def _export_animation(scene_dir, frames, colors, fps):
         plt.close(fig)
 
 
+def nocs_cube_points(offset=(0.0, 0.0, 0.0), pts_per_edge: int = 24):
+    """Wireframe unit cube sampled as points (the reference viewer draws
+    NOCS wire cubes, pcl_viewer.py:174-180; point tracks are the headless
+    equivalent).  Returns (12*pts_per_edge, 3)."""
+    corners = np.array(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        np.float32,
+    )
+    edges = [
+        (0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3),
+        (2, 6), (3, 7), (4, 5), (4, 6), (5, 7), (6, 7),
+    ]
+    t = np.linspace(0.0, 1.0, pts_per_edge, dtype=np.float32)[:, None]
+    pts = np.concatenate(
+        [corners[a] * (1 - t) + corners[b] * t for a, b in edges], axis=0
+    )
+    return pts + np.asarray(offset, np.float32)
+
+
 # ----------------------- color helpers (viz_utils.py) ----------------------
 
 

@@ -46,6 +46,21 @@ from caspr_tpu.viz import (
     np_to_list,
     shift_pcl_list,
 )
+from caspr_tpu.viz.export import nocs_cube_points
+
+
+def _with_cubes(flags, seqs, rgbs, num_frames):
+    """Append GT + prediction NOCS wire-cube tracks (pcl_viewer.py:174-180
+    equivalent) unless --no-nocs-cubes."""
+    if not flags.show_nocs_cubes:
+        return seqs, rgbs
+    gt_cube = nocs_cube_points()
+    pred_cube = nocs_cube_points(PRED_OFFSET)
+    cube_pts = np.concatenate([gt_cube, pred_cube], axis=0)
+    cube_rgb = np.full_like(cube_pts, 0.35)
+    seqs = seqs + [[cube_pts] * num_frames]
+    rgbs = rgbs + [[cube_rgb] * num_frames]
+    return seqs, rgbs
 
 
 def parse_args(argv):
@@ -157,9 +172,11 @@ def viz(flags):
             else:
                 pred_rgb = [p.copy() for p in viz_pred]
             viz_pred = shift_pcl_list(viz_pred, PRED_OFFSET)
+            seqs_c, rgbs_c = _with_cubes(
+                flags, base_seq + [viz_pred], base_rgb + [pred_rgb], t
+            )
             out = export_pcl_seq(
-                flags.out, scene_prefix + "_tnocs",
-                base_seq + [viz_pred], base_rgb + [pred_rgb], fps=t
+                flags.out, scene_prefix + "_tnocs", seqs_c, rgbs_c, fps=t
             )
             print("Exported TNOCS viz to %s" % out)
 
@@ -232,6 +249,7 @@ def _export_reconstruction(flags, samp, logprob, pred, base_seq, base_rgb,
     if flags.show_base_sampling:
         seqs.append(viz_samp)
         rgbs.append(samp_rgb)
+    seqs, rgbs = _with_cubes(flags, seqs, rgbs, fps if fps > 1 else 1)
     return export_pcl_seq(out_dir, name, seqs, rgbs, fps=fps)
 
 
