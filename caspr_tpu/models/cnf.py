@@ -164,6 +164,40 @@ def odenet_apply(params, cfg: CNFConfig, context, y):
     return dx
 
 
+def odenet_apply_with_jvp(params, cfg: CNFConfig, context, y, e):
+    """(f(y), J_f(y) e) with the primal and tangent stacked along the point
+    axis so every layer issues ONE matmul over 2N rows instead of two over
+    N — better MXU pipelining for the dominant kernel of the model.
+
+    Specialized to the concatsquash + softplus configuration CaSPR uses
+    (gate/bias are constant w.r.t. y, so the tangent of L(y)*g + b is
+    L(e)*g; softplus' tangent factor is sigmoid of the primal
+    pre-activation).  Other configurations fall back to jax.jvp.
+    """
+    n = y.shape[1]
+    z = jnp.concatenate([y, e], axis=1)  # (BT, 2N, D)
+    layers = params["layers"]
+    num = len(layers)
+    for i, lp in enumerate(layers):
+        gate = jax.nn.sigmoid(linear(lp["_hyper_gate"], context))[:, None, :]
+        bias = linear(lp["_hyper_bias"], context)[:, None, :]
+        # ONE stacked bias-free matmul; constants (the layer's own bias and
+        # the hyper bias) belong to the primal half only
+        m = jnp.matmul(z, lp["_layer"]["weight"].T,
+                       preferred_element_type=z.dtype) * gate
+        zp = m[:, :n] + lp["_layer"]["bias"] * gate[:, 0:1] + bias
+        zt = m[:, n:]
+        if i < num - 1:
+            zt = jax.nn.sigmoid(zp) * zt  # d softplus = sigmoid
+            zp = jax.nn.softplus(zp)
+        z = jnp.concatenate([zp, zt], axis=1)
+    return z[:, :n], z[:, n:]
+
+
+def _can_fuse_jvp(cfg: CNFConfig) -> bool:
+    return cfg.layer_type == "concatsquash" and cfg.nonlinearity == "softplus"
+
+
 # --------------------------- CNF dynamics ----------------------------------
 
 
@@ -189,11 +223,15 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
             [jnp.full((bt, 1), 1.0, x.dtype) * t_phys, args["context"]], axis=1
         )
 
-        def f(x_):
-            return odenet_apply(args["params"], cfg, tc, x_)
-
         e = args["e"]
-        dx, jvp_val = jax.jvp(f, (x,), (e,))
+        if _can_fuse_jvp(cfg):
+            dx, jvp_val = odenet_apply_with_jvp(args["params"], cfg, tc, x, e)
+        else:
+
+            def f(x_):
+                return odenet_apply(args["params"], cfg, tc, x_)
+
+            dx, jvp_val = jax.jvp(f, (x,), (e,))
         div = jnp.sum(jvp_val * e, axis=-1)  # e^T J e, (BT, N)
         dx = dx.reshape(bt, -1)
         if reverse:

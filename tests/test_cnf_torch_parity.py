@@ -128,3 +128,44 @@ def test_cnf_reverse_dynamics_is_time_reflected():
     dx_r, dlp_r = rev(s, state, args)
     np.testing.assert_allclose(np.asarray(dx_r), -np.asarray(dx_f), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(dlp_r), -np.asarray(dlp_f), rtol=1e-6)
+
+
+def test_fused_jvp_matches_jax_jvp():
+    """The stacked primal+tangent evaluation must equal jax.jvp exactly."""
+    from caspr_tpu.models.cnf import odenet_apply, odenet_apply_with_jvp
+
+    cfg = CNFConfig(dims=(32, 32, 32), zdim=16)
+    params = odenet_init(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(6)
+    y = jnp.asarray(rng.randn(2, 9, 3).astype(np.float32))
+    e = jnp.asarray(rng.randn(2, 9, 3).astype(np.float32))
+    tc = jnp.asarray(rng.randn(2, 17).astype(np.float32))
+
+    want_p, want_t = jax.jvp(
+        lambda y_: odenet_apply(params, cfg, tc, y_), (y,), (e,)
+    )
+    got_p, got_t = odenet_apply_with_jvp(params, cfg, tc, y, e)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_jvp_gradients_flow():
+    """The adjoint differentiates through the fused dynamics (vjp of the
+    hand-fused forward must exist and be finite)."""
+    from caspr_tpu.models.cnf import odenet_apply_with_jvp
+
+    cfg = CNFConfig(dims=(16,), zdim=8)
+    params = odenet_init(jax.random.PRNGKey(7), cfg)
+    y = jax.random.normal(jax.random.PRNGKey(8), (1, 5, 3))
+    e = jax.random.normal(jax.random.PRNGKey(9), (1, 5, 3))
+    tc = jax.random.normal(jax.random.PRNGKey(10), (1, 9))
+
+    def loss(p):
+        dp, dt = odenet_apply_with_jvp(p, cfg, tc, y, e)
+        return jnp.sum(dp * dp) + jnp.sum(dt * e)
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
