@@ -195,6 +195,13 @@ def odenet_apply_with_jvp(params, cfg: CNFConfig, context, y, e):
 
 
 def _can_fuse_jvp(cfg: CNFConfig) -> bool:
+    """Measured on v5e: the stacked form wins on small batches (-8% solve
+    time at BT=20) but the per-layer restack concats are HBM-bound and LOSE
+    ~16% end-to-end at eval batch 16, so it is opt-in only."""
+    import os
+
+    if os.environ.get("CASPR_TPU_FUSED_JVP", "0") != "1":
+        return False
     return cfg.layer_type == "concatsquash" and cfg.nonlinearity == "softplus"
 
 
