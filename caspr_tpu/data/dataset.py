@@ -27,7 +27,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 

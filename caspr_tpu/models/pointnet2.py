@@ -23,7 +23,7 @@ Architecture facts replicated (with reference lines):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import jax

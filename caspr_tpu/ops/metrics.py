@@ -14,8 +14,6 @@ is MXU/VPU friendly and batches are processed with lax.map to bound the
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -31,7 +31,6 @@ the call site (see caspr_tpu.models.cnf).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

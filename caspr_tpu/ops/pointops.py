@@ -17,8 +17,6 @@ caspr_tpu.ops.dispatch.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -15,17 +15,13 @@ the loader guarantees with drop_last.
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
 from ..models import CaSPRModel
-from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ..parallel.mesh import shard_batch
 from .trackers import TestStatTracker, log, print_stats
 
 
