@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 VS_BASELINE_REF = 1.0  # estimated reference V100 seqs/sec (see docstring)
 
-BATCH = 32  # throughput batch; the reference protocol itself used 2 on a 16GB V100
+BATCH = 16  # throughput batch (saturation point; the reference protocol used 2 on a 16GB V100)
 T, N = 10, 2048
 
 
