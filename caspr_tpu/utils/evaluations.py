@@ -251,11 +251,59 @@ def test_tnocs_regression(model, params, state, loader, log_out):
     return np.mean(stat_dict["space"]), np.mean(stat_dict["time"])
 
 
-def test_observed_camera_pose_ransac(model, params, state, loader, log_out):
+def _camera_frustum_points(transform, scale=0.1, color=(0.0, 1.0, 0.0)):
+    """Point-sampled camera frustum + trajectory marker for a 4x4 camera
+    pose (headless analogue of pcl_viewer.py:193-206)."""
+    apex = np.zeros(3)
+    corners = (
+        np.array(
+            [[-1, -0.75, 1.5], [1, -0.75, 1.5], [1, 0.75, 1.5], [-1, 0.75, 1.5]]
+        )
+        * scale
+    )
+    t = np.linspace(0, 1, 8)[:, None]
+    segs = [apex * (1 - t) + c * t for c in corners]
+    for a, b in zip(corners, np.roll(corners, 1, axis=0)):
+        segs.append(a * (1 - t) + b * t)
+    pts = np.concatenate(segs, axis=0)
+    r, tr = transform[:3, :3], transform[:3, 3]
+    world = pts @ r.T + tr
+    return world, np.tile(np.asarray(color)[None], (world.shape[0], 1))
+
+
+def _export_pose_scene(out_dir, name, pred_nocs, pred_nocs_rgb, pred_depth,
+                       gt_depth, gt_nocs, gt_cams, pred_cams):
+    """Headless stand-in for the reference's interactive pose visualization
+    (evaluations.py:435-458): predicted NOCS in T-NOCS RGB, GT NOCS
+    transformed by the predicted pose (blue), GT input/NOCS (green), plus
+    green GT and red predicted camera frusta."""
+    from ..viz.export import export_pcl_seq
+
+    t = len(pred_nocs)
+    blue = [np.tile([[0.0, 0.0, 1.0]], (p.shape[0], 1)) for p in pred_depth]
+    green = [np.tile([[0.0, 1.0, 0.0]], (p.shape[0], 1)) for p in gt_depth]
+    cam_tracks = []
+    cam_rgbs = []
+    for cams, color in ((gt_cams, (0.0, 1.0, 0.0)), (pred_cams, (1.0, 0.0, 0.0))):
+        frames = [_camera_frustum_points(c, color=color) for c in cams]
+        cam_tracks.append([f[0] for f in frames])
+        cam_rgbs.append([f[1] for f in frames])
+    return export_pcl_seq(
+        out_dir,
+        name,
+        [pred_nocs, pred_depth, gt_depth, gt_nocs] + cam_tracks,
+        [pred_nocs_rgb, blue, green, green] + cam_rgbs,
+        fps=t,
+    )
+
+
+def test_observed_camera_pose_ransac(model, params, state, loader, log_out,
+                                     show: bool = False):
     """Pose estimation from T-NOCS via correspondence RANSAC
     (reference evaluations.py:297-514).  Uses the native C++ RANSAC module
     (numpy fallback) with o3d-equivalent criteria: threshold 0.015,
-    ransac_n=4, 50000 iterations / 5000 validations."""
+    ransac_n=4, 50000 iterations / 5000 validations.  ``show`` exports the
+    per-sequence pose scenes next to the log (headless)."""
     from .ransac import ransac_rigid_registration
 
     loader.dataset.set_return_pose_data(True)
@@ -293,6 +341,8 @@ def test_observed_camera_pose_ransac(model, params, state, loader, log_out):
             norm_pred = pred_tnocs[bi, :, :, :3] - 0.5
             norm_gt = nocs_out[bi, :, :, :3] - 0.5
             inputs = pcl_in[bi, :, :, :3]
+            scene = {"pred_depth": [], "gt_depth": [], "gt_cams": [],
+                     "pred_cams": []}
             for si in range(num_steps):
                 trans = ransac_rigid_registration(
                     norm_pred[si],
@@ -321,6 +371,32 @@ def test_observed_camera_pose_ransac(model, params, state, loader, log_out):
                 rot_err = np.degrees(np.arccos(np.clip(rot_diff, -1.0, 1.0)))
                 stat_dict["trans_RANSAC"].append(float(trans_err))
                 stat_dict["rot_RANSAC"].append(float(rot_err))
+
+                if show:
+                    scene["pred_depth"].append(pred_depth)
+                    scene["gt_depth"].append(norm_gt[si] @ r_gt.T + t_gt)
+                    for key_, r_, t_ in (
+                        ("gt_cams", r_gt, t_gt),
+                        ("pred_cams", r_pred, t_pred),
+                    ):
+                        cam = np.eye(4)
+                        cam[:3, :3] = r_.T
+                        cam[:3, 3] = r_.T @ -t_
+                        scene[key_].append(cam)
+
+            if show:
+                out = _export_pose_scene(
+                    os.path.dirname(log_out),
+                    f"pose_{batch['model_id'][bi]}_{batch['seq_id'][bi]}",
+                    [norm_pred[si] for si in range(num_steps)],
+                    [pred_tnocs[bi, si, :, :3] for si in range(num_steps)],
+                    scene["pred_depth"],
+                    scene["gt_depth"],
+                    [norm_gt[si] for si in range(num_steps)],
+                    scene["gt_cams"],
+                    scene["pred_cams"],
+                )
+                print("Exported pose viz to %s" % out)
 
         print("==== CURRENT ERROR ====")
         print("mean Pos error RANSAC (l2 distance) %f" % np.mean(stat_dict["trans_RANSAC"]))

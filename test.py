@@ -149,7 +149,8 @@ def test(flags):
         test_tnocs_regression(model, params, mbn_state, test_loader, log_out)
     if flags.eval_pose_observed_ransac:
         test_observed_camera_pose_ransac(
-            model, params, mbn_state, test_loader, log_out
+            model, params, mbn_state, test_loader, log_out,
+            show=flags.show_pose_viz,
         )
 
 

@@ -138,3 +138,15 @@ def test_protocol_violation_raises(tiny_model):
         ev.test_tnocs_regression(
             model, params, state, _BadLoader(), "/tmp/unused_log.txt"
         )
+
+
+def test_pose_ransac_show_exports_scene(tmp_path, tiny_model):
+    model, params, state = tiny_model
+    log_out = os.path.join(tmp_path, "poseviz_log.txt")
+    ev.test_observed_camera_pose_ransac(
+        model, params, state, _FakeLoader(with_pose=True), log_out, show=True
+    )
+    scenes = [d for d in os.listdir(tmp_path) if d.startswith("pose_m")]
+    assert len(scenes) == 2
+    files = os.listdir(os.path.join(tmp_path, scenes[0]))
+    assert "viewer.html" in files and "frame_0000.ply" in files
