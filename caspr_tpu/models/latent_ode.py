@@ -26,15 +26,22 @@ class LatentODEConfig:
     num_layers: int = 2  # hidden-to-hidden layers (4 linear layers total)
     rtol: float = 1e-3
     atol: float = 1e-3  # reference effective value (see module docstring)
+    # zero-augmentation of the initial state (ANODE-style; reference
+    # latent_ode_model.py:28-29,60-65).  0 for CaSPR.
+    augment_size: int = 0
+
+    @property
+    def output_size(self) -> int:
+        return self.input_size + self.augment_size
 
 
 def dynamics_init(key, cfg: LatentODEConfig):
     """Linear(in,h), tanh, [Linear(h,h), tanh] x num_layers, Linear(h,out);
     weights N(0, 0.1), biases 0 (latent_ode_model.py:129-136,152-156)."""
     dims = (
-        [cfg.input_size]
+        [cfg.output_size]
         + [cfg.hidden_size] * (cfg.num_layers + 1)
-        + [cfg.input_size]
+        + [cfg.output_size]
     )
     keys = jax.random.split(key, len(dims))
     params = {
@@ -63,11 +70,17 @@ def latent_ode_solve(params, cfg: LatentODEConfig, z0, t, *, adjoint: bool):
     the initial time.
 
     Times are shifted relative to t[0] like the reference
-    (latent_ode_model.py:58).  Returns (pred_z (B, T, H), nfe).
+    (latent_ode_model.py:58); with augment_size > 0 the initial state is
+    zero-padded and the returned latents carry the augmented dims
+    (latent_ode_model.py:60-65).  Returns (pred_z (B, T, H'), nfe).
     """
     rel_t = t - t[0]
+    if cfg.augment_size > 0:
+        z0 = jnp.concatenate(
+            [z0, jnp.zeros((z0.shape[0], cfg.augment_size), z0.dtype)], axis=1
+        )
     solver = odeint_adjoint if adjoint else odeint
     zs, nfe = solver(
         _ode_func, z0, rel_t, params, rtol=cfg.rtol, atol=cfg.atol
-    )  # (T, B, H)
+    )  # (T, B, H')
     return jnp.transpose(zs, (1, 0, 2)), nfe

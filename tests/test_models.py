@@ -333,3 +333,16 @@ def test_caspr_grad_flows_everywhere():
     assert (
         float(jnp.sum(jnp.abs(grads["encoder"]["conv1"]["weight"]))) > 0
     )
+
+
+def test_latent_ode_augment_size():
+    """ANODE-style zero augmentation (reference latent_ode_model.py:60-65):
+    output carries input+augment dims, starts at [z0, 0]."""
+    cfg = LatentODEConfig(input_size=6, hidden_size=16, augment_size=4)
+    p = dynamics_init(KEY, cfg)
+    z0 = jax.random.normal(KEY, (2, 6))
+    t = jnp.array([0.0, 0.5])
+    zs, _ = latent_ode_solve(p, cfg, z0, t, adjoint=False)
+    assert zs.shape == (2, 2, 10)
+    np.testing.assert_allclose(np.asarray(zs[:, 0, :6]), np.asarray(z0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(zs[:, 0, 6:]), 0.0, atol=1e-6)
