@@ -167,3 +167,40 @@ def test_adjoint_under_jit_and_tuple_state():
     a = -0.3
     want = 3 * np.exp(a) - 3 * (np.exp(a) * a - (np.exp(a) - 1)) / a**2
     np.testing.assert_allclose(float(g), want, rtol=1e-3)
+
+
+def test_long_integration_energy_conservation():
+    """Rotation dynamics conserve |y|; the solver must track it over a long
+    horizon at its tolerance scale."""
+    w = 3.0
+
+    def f(t, y, args):
+        return jnp.stack([-w * y[1], w * y[0]])
+
+    y0 = jnp.array([1.0, 0.0])
+    ts = jnp.linspace(0.0, 20.0, 5)
+    ys, nfe = odeint(f, y0, ts, None, rtol=1e-6, atol=1e-8)
+    radii = np.linalg.norm(np.asarray(ys), axis=1)
+    np.testing.assert_allclose(radii, 1.0, rtol=1e-4)
+    assert float(nfe) > 100  # ~10 rotations need real steps
+
+
+def test_stiffish_decay_stability():
+    """Fast decay: solution must stay bounded and land on the asymptote."""
+
+    def f(t, y, args):
+        return -50.0 * (y - jnp.cos(t))
+
+    ys, _ = odeint(f, jnp.array([2.0]), jnp.array([0.0, 3.0]), None,
+                   rtol=1e-6, atol=1e-8)
+    # quasi-static solution ~ cos(t) for large decay rate
+    assert abs(float(ys[1][0]) - np.cos(3.0)) < 0.05
+
+
+def test_adjoint_nfe_and_fwd_nfe_reported():
+    func = lambda t, y, args: args * y
+    _, nfe = odeint_adjoint(
+        func, jnp.ones(2), jnp.array([0.0, 1.0]), jnp.asarray(-0.5),
+        rtol=1e-6, atol=1e-8,
+    )
+    assert float(nfe) >= 8.0
