@@ -128,13 +128,20 @@ def _emd_fwd(xyz1, xyz2):
 
 
 def _emd_bwd(res, g):
+    """Chunked like the forward: one (N, M, 3) difference tensor per cloud
+    pair via lax.map, never the full (B, N, M, 3) batch at once (at the
+    protocol scale B*T=160, N=M=2048 the unchunked form is ~8 GB)."""
     xyz1, xyz2, match = res
-    diff = xyz1[:, :, None, :] - xyz2[:, None, :, :]  # (B, N, M, 3)
-    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-20))
-    grad_pair = (match / d)[..., None] * diff  # d||a-b||/da weighted by flow
-    g1 = g[:, None, None] * jnp.sum(grad_pair, axis=2)
-    g2 = -g[:, None, None] * jnp.sum(grad_pair, axis=1)
-    return g1, g2
+
+    def one(args):
+        a, b, m = args
+        diff = a[:, None, :] - b[None, :, :]  # (N, M, 3)
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-20))
+        grad_pair = (m / d)[..., None] * diff  # d||a-b||/da weighted by flow
+        return jnp.sum(grad_pair, axis=1), jnp.sum(grad_pair, axis=0)
+
+    g1, g2 = lax.map(one, (xyz1, xyz2, match))
+    return g[:, None, None] * g1, -g[:, None, None] * g2
 
 
 approx_match_emd.defvjp(_emd_fwd, _emd_bwd)
