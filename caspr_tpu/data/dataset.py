@@ -351,6 +351,13 @@ class SequenceLoader:
     Deterministic given ``seed``: the epoch ordering and every per-item
     subsampling RNG derive from it.  Batches are dicts of stacked numpy
     arrays plus 'model_id'/'seq_id' lists, ready for jnp.asarray/device_put.
+
+    ``pad_last`` repeats items of a short final batch (cyclically) so every
+    batch has exactly ``batch_size`` rows, and adds ``batch['valid']`` with
+    the number of real rows.  Static batch shapes mean jit consumers
+    compile exactly once — the reference's dynamic final batch is free in
+    eager torch (caspr/test.py:112-115) but a multi-minute recompile under
+    XLA; consumers mask the padding out of their statistics instead.
     """
 
     def __init__(
@@ -361,11 +368,15 @@ class SequenceLoader:
         drop_last: bool = False,
         seed: int = 0,
         num_workers: int = 2,
+        pad_last: bool = False,
     ):
+        if drop_last and pad_last:
+            raise ValueError("drop_last and pad_last are mutually exclusive")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.epoch = 0
@@ -399,6 +410,11 @@ class SequenceLoader:
             list(range(i, min(i + self.batch_size, len(order))))
             for i in range(0, len(order), self.batch_size)
         ]
+        valid_counts = [len(b) for b in batches]
+        if self.pad_last:
+            batches = [
+                [b[i % len(b)] for i in range(self.batch_size)] for b in batches
+            ]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline: submit next batch while current is consumed
             futures = [
@@ -416,6 +432,8 @@ class SequenceLoader:
                     "model_id": [it["model_id"] for it in items],
                     "seq_id": [it["seq_id"] for it in items],
                 }
+                if self.pad_last:
+                    batch["valid"] = valid_counts[bi]
                 if "pose" in items[0]:
                     batch["pose"] = np.stack([it["pose"] for it in items])
                 yield batch

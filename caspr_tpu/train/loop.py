@@ -96,7 +96,10 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
 
 def make_eval_step(model: CaSPRModel, cnf_loss_weight, tnocs_loss_weight):
     """Returns jitted eval(params, mbn_state, x, target, key) -> metrics.
-    Per-point errors are returned unreduced for the streaming trackers."""
+
+    Errors are returned unreduced and the loss additionally per batch item
+    (the batch mean of ``loss_per_item`` equals ``compute_losses``'s scalar)
+    so the host can mask loader padding out of every statistic."""
 
     def step(params, mbn_state, x, target, key):
         out, _ = model.forward(params, mbn_state, x, target, key, training=False)
@@ -106,13 +109,16 @@ def make_eval_step(model: CaSPRModel, cnf_loss_weight, tnocs_loss_weight):
         b, t, n, _ = target.shape
         nll = out.get("nll", jnp.zeros((b, t, n), jnp.float32))
         tn = out.get("tnocs_loss", jnp.zeros((b, t, n, 4), jnp.float32))
+        cnf_per_item = cnf_loss_weight * jnp.mean(jnp.sum(nll, axis=2), axis=1)
+        tnocs_per_item = tnocs_loss_weight * jnp.mean(tn, axis=(1, 2, 3))
         return {
             "loss": loss,
             "cnf_loss": cnf_loss,
             "tnocs_loss": tnocs_loss,
+            "loss_per_item": cnf_per_item + tnocs_per_item,  # (B,)
             "nll": nll,
-            "tnocs_pos_err": jnp.linalg.norm(tn[..., :3], axis=-1).reshape(-1),
-            "tnocs_time_err": tn[..., 3].reshape(-1),
+            "tnocs_pos_err": jnp.linalg.norm(tn[..., :3], axis=-1),  # (B,T,N)
+            "tnocs_time_err": tn[..., 3],  # (B, T, N)
             "nfe": jnp.stack(
                 [out["nfe"][0].astype(jnp.float32), out["nfe"][1].astype(jnp.float32)]
             ),
@@ -176,11 +182,15 @@ def run_one_epoch(
                 batch_losses = []
         else:
             metrics = step_fn(params, mbn_state, x, target, sub)
+            # loader padding (batch['valid'] < B): mask padded rows out of
+            # every statistic; mean of per-item losses over the valid rows
+            # equals the unpadded batch loss
+            valid = batch.get("valid", x.shape[0])
             loss_tracker.record_stats(
-                float(metrics["loss"]),
-                np.asarray(metrics["nll"]),
-                np.asarray(metrics["tnocs_pos_err"]),
-                np.asarray(metrics["tnocs_time_err"]),
+                float(np.mean(np.asarray(metrics["loss_per_item"])[:valid])),
+                np.asarray(metrics["nll"])[:valid],
+                np.asarray(metrics["tnocs_pos_err"])[:valid].reshape(-1),
+                np.asarray(metrics["tnocs_time_err"])[:valid].reshape(-1),
                 np.asarray(metrics["nfe"]),
             )
             if i % print_stats_every == 0:

@@ -99,11 +99,14 @@ def test_shape_recon(
         print("Batch: %d / %d" % (i, len(loader)))
         pcl_in = jnp.asarray(batch["input"])
         nocs_out = jnp.asarray(batch["target"])
-        model_ids.extend(batch["model_id"])
-        seq_ids.extend(batch["seq_id"])
 
         b, t, n, _ = pcl_in.shape
-        num_seqs_total += b
+        # padded final batch (loader pad_last): compute on the full static
+        # shape (one jit compile for the whole eval), mask stats after
+        valid = batch.get("valid", b)
+        model_ids.extend(batch["model_id"][:valid])
+        seq_ids.extend(batch["seq_id"][:valid])
+        num_seqs_total += valid
         _check_protocol(t, n)
         t_obs, t_unobs = len(observed_steps), len(unobserved_steps)
 
@@ -120,8 +123,8 @@ def test_shape_recon(
         obs_gt = nocs_out[:, observed_steps, :, :3].reshape(b * t_obs, n, 3)
         obs_pred = pred_pcl[:, observed_steps].reshape(b * t_obs, n, 3)
         chamfer, emd = eval_reconstr_frames(obs_pred, obs_gt)
-        observed_stats["chamfer"].extend(chamfer.tolist())
-        observed_stats["emd"].extend(emd.tolist())
+        observed_stats["chamfer"].extend(chamfer[: valid * t_obs].tolist())
+        observed_stats["emd"].extend(emd[: valid * t_obs].tolist())
         observed_stats["infer_time"].append(elapsed)
 
         print("==== OBSERVED ====")
@@ -136,8 +139,8 @@ def test_shape_recon(
             un_gt = nocs_out[:, unobserved_steps, :, :3].reshape(b * t_unobs, n, 3)
             un_pred = pred_pcl[:, unobserved_steps].reshape(b * t_unobs, n, 3)
             chamfer, emd = eval_reconstr_frames(un_pred, un_gt)
-            unobserved_stats["chamfer"].extend(chamfer.tolist())
-            unobserved_stats["emd"].extend(emd.tolist())
+            unobserved_stats["chamfer"].extend(chamfer[: valid * t_unobs].tolist())
+            unobserved_stats["emd"].extend(emd[: valid * t_unobs].tolist())
             print("==== UNOBSERVED ====")
             print("Shape Recon Mean Chamfer: %f" % (np.mean(unobserved_stats["chamfer"]) * 1000))
             print("Shape Recon Mean EMD: %f" % (np.mean(unobserved_stats["emd"]) * 1000))
@@ -200,22 +203,23 @@ def test_tnocs_regression(model, params, state, loader, log_out):
         print("Batch: %d / %d" % (i, len(loader)))
         pcl_in = jnp.asarray(batch["input"])
         nocs_out = jnp.asarray(batch["target"])
-        model_ids.extend(batch["model_id"])
-        seq_ids.extend(batch["seq_id"])
         b, t, n, _ = pcl_in.shape
-        num_seqs_total += b
+        valid = batch.get("valid", b)
+        model_ids.extend(batch["model_id"][:valid])
+        seq_ids.extend(batch["seq_id"][:valid])
+        num_seqs_total += valid
         last_t = t
         _check_protocol(t, n)
 
         _, pred_tnocs = encode(params, pcl_in)
         diff = pred_tnocs[..., :3] - nocs_out[..., :3]
         dist = jnp.mean(jnp.linalg.norm(diff, axis=3), axis=2)  # (B, T)
-        stat_dict["space"].extend(np.asarray(dist).reshape(-1).tolist())
+        stat_dict["space"].extend(np.asarray(dist)[:valid].reshape(-1).tolist())
         if pred_tnocs.shape[-1] > 3:
             tdiff = jnp.mean(
                 jnp.abs(pred_tnocs[..., 3] - nocs_out[..., 3]), axis=2
             )
-            stat_dict["time"].extend(np.asarray(tdiff).reshape(-1).tolist())
+            stat_dict["time"].extend(np.asarray(tdiff)[:valid].reshape(-1).tolist())
 
         print("==== CURRENT ERROR ====")
         print("mean SPATIAL error (l2 distance) %f" % np.mean(stat_dict["space"]))
@@ -327,17 +331,18 @@ def test_observed_camera_pose_ransac(model, params, state, loader, log_out,
         pcl_in = jnp.asarray(batch["input"])
         nocs_out = np.asarray(batch["target"])
         pose_data = np.asarray(batch["pose"])
-        model_ids.extend(batch["model_id"])
-        seq_ids.extend(batch["seq_id"])
         b, num_steps, n, _ = pcl_in.shape
-        num_seqs_total += b
+        valid = batch.get("valid", b)
+        model_ids.extend(batch["model_id"][:valid])
+        seq_ids.extend(batch["seq_id"][:valid])
+        num_seqs_total += valid
         _check_protocol(num_steps, n)
 
         _, pred_tnocs = encode(params, pcl_in)
         pred_tnocs = np.asarray(pred_tnocs)
         pcl_in = np.asarray(pcl_in)
 
-        for bi in range(b):
+        for bi in range(valid):
             norm_pred = pred_tnocs[bi, :, :, :3] - 0.5
             norm_gt = nocs_out[bi, :, :, :3] - 0.5
             inputs = pcl_in[bi, :, :, :3]

@@ -99,6 +99,10 @@ def test(flags):
         shuffle=flags.shuffle_test,
         seed=flags.seed,
         num_workers=flags.num_workers,
+        # static batch shapes: a short final batch is padded (masked out of
+        # all stats) instead of triggering a second multi-minute XLA
+        # compile like the reference's dynamic batch would (test.py:112-115)
+        pad_last=True,
     )
 
     if flags.eval_full_test:

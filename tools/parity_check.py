@@ -62,7 +62,7 @@ def main():
         seq_len=ev.PROTOCOL_NUM_STEPS, shift_time_to_zero=True,
         random_point_sample=False,
     )
-    loader = SequenceLoader(ds, batch_size=args.batch_size)
+    loader = SequenceLoader(ds, batch_size=args.batch_size, pad_last=True)
 
     log_out = os.path.join(args.out, "parity_tnocs.txt")
     space, time_err = test_tnocs_regression(model, params, state, loader, log_out)
