@@ -5,17 +5,24 @@ in 10-frame x 2048-point sequences/sec on one chip — the reference's
 headline eval setting (reference README.md:84, caspr/utils/
 evaluations.py:26-27,108-115).
 
-The reference publishes no numbers (BASELINE.md); its executable baseline
-is released weights on a 16GB V100 at eval batch 2.  ``VS_BASELINE_REF``
-below is our recorded/estimated reference throughput in seqs/sec used for
-the ``vs_baseline`` ratio; until a V100 measurement exists it is a
-documented estimate (reference inference timing prints ~1-2 s per batch-2
-eval step for the CNF-dominated pipeline => ~1 seq/sec).
+Headline = TRAINED weights (artifacts/demo_trained.pkl, a 300-epoch demo
+checkpoint committed to the repo): a trained CNF takes ~2.4x more solver
+steps than a random-init one (decoder NFE ~62 vs ~26), so random-init
+throughput would overstate production speed.  Falls back to random init
+(and says so in the metric name) if the checkpoint is missing.
+
+``vs_baseline``: the reference publishes no numbers and its CUDA stack
+cannot run here, so the ratio is computed against a *derived upper bound*
+on the reference's V100 throughput — FLOP-count of its per-NFE work
+against V100 fp32 peak, crediting it zero overhead (see
+reference_v100_bound and BASELINE.md "Derived throughput bound").  The
+printed ratio is therefore a LOWER bound on the true speedup.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -24,15 +31,39 @@ try:
     from caspr_tpu.utils.runtime import enable_compile_cache
 except ImportError:
     import os as _os, sys as _sys
-    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
     from caspr_tpu.utils.runtime import enable_compile_cache
 enable_compile_cache()
 import jax.numpy as jnp
 
-VS_BASELINE_REF = 1.0  # estimated reference V100 seqs/sec (see docstring)
-
 BATCH = 16  # throughput batch (saturation point; the reference protocol used 2 on a 16GB V100)
 T, N = 10, 2048
+CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "artifacts", "demo_trained.pkl")
+
+
+def reference_v100_bound(nfe_cnf: float) -> float:
+    """Upper bound on the reference stack's V100 seqs/sec at this NFE.
+
+    Per CNF dynamics evaluation the reference executes (per sequence):
+      - the 4-layer concatsquash ODEnet forward over T*N points
+        (reference caspr/models/odefunc.py:119-138; dims 3-512-512-512-3,
+        three matmuls per layer but the hyper_gate/hyper_bias ones are
+        context-sized and negligible)
+      - the Hutchinson divergence via torch.autograd.grad *inside* the
+        dynamics (odefunc.py:13-31) — a full backward through the net,
+        ~2x the forward FLOPs.
+    Crediting the reference V100 fp32 peak (15.7 TFLOP/s) with zero
+    overhead for the Python-level torchdiffeq stepping (cnf.py:100-119
+    runs each RK stage as ~dozens of kernel launches), zero time for the
+    encoder/latent ODE/memory traffic, gives a throughput it cannot
+    exceed; dividing our measurement by it lower-bounds the speedup.
+    """
+    dims = [(3, 512), (512, 512), (512, 512), (512, 3)]
+    fwd_flops_per_seq = 2 * T * N * sum(a * b for a, b in dims)
+    flops_per_seq = 3.0 * fwd_flops_per_seq * max(nfe_cnf, 1.0)
+    v100_fp32_peak = 15.7e12
+    return v100_fp32_peak / flops_per_seq
 
 
 def main():
@@ -42,6 +73,15 @@ def main():
     model = CaSPRModel(cfg)
     key = jax.random.PRNGKey(0)
     params, state = caspr_init(key, cfg)
+
+    trained = False
+    if os.path.exists(CKPT):
+        from caspr_tpu.train.checkpoint import load_checkpoint, load_weights
+
+        ck = load_checkpoint(CKPT)
+        params = load_weights(params, ck["params"])
+        state = jax.tree_util.tree_map(jnp.asarray, ck["state"])
+        trained = True
 
     x = jax.random.uniform(key, (BATCH, T, N, 4))
     times = jnp.broadcast_to(jnp.linspace(0.0, 5.0, T), (BATCH, T))
@@ -63,6 +103,7 @@ def main():
     # warmup / compile
     pred, nfe = recon(params, state, x, key)
     sync(pred)
+    nfe_cnf = float(nfe[1])
 
     iters = 5
     start = time.perf_counter()
@@ -72,13 +113,18 @@ def main():
     elapsed = time.perf_counter() - start
 
     seqs_per_sec = BATCH * iters / elapsed
+    metric = "reconstruct_throughput_10x2048"
+    if not trained:
+        metric += "_random_init"
     print(
         json.dumps(
             {
-                "metric": "reconstruct_throughput_10x2048",
+                "metric": metric,
                 "value": round(seqs_per_sec, 4),
                 "unit": "seqs/sec/chip",
-                "vs_baseline": round(seqs_per_sec / VS_BASELINE_REF, 4),
+                "vs_baseline": round(
+                    seqs_per_sec / reference_v100_bound(nfe_cnf), 4
+                ),
             }
         )
     )

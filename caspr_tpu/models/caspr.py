@@ -115,7 +115,9 @@ class CaSPRModel:
 
     # --------------------------- latent solve ----------------------------
 
-    def aggregate_and_solve_latent(self, params, z0, times, *, adjoint):
+    def aggregate_and_solve_latent(
+        self, params, z0, times, *, adjoint, nfe_sink=None
+    ):
         """z0: (B, H), times: (B, T) -> (feats (B, T, H), nfe).
 
         Static-shape replacement for the reference's torch.unique batching
@@ -138,6 +140,7 @@ class CaSPRModel:
             z_dyn,
             sorted_t,
             adjoint=adjoint,
+            nfe_sink=nfe_sink,
         )  # (B, B*T, motion)
         feats = jnp.take_along_axis(pred_z, ranks[..., None], axis=1)  # (B,T,m)
         z_rep = jnp.broadcast_to(z_stat[:, None, :], (b, t, z_stat.shape[-1]))
@@ -145,13 +148,21 @@ class CaSPRModel:
 
     # ------------------------------ forward ------------------------------
 
-    def forward(self, params, state, x, sample_points, key, *, training=True):
+    def forward(
+        self, params, state, x, sample_points, key, *, training=True,
+        nfe_sink=None,
+    ):
         """Training/eval forward returning unreduced losses.
 
         x, sample_points: (B, T, N, 4).  Returns (out, new_state) where out
         has 'tnocs_loss' (B,T,N,4) if regressing, 'nll' (B,T,N) unless
         pretraining, and 'nfe' = (latent_ode_nfe, cnf_nfe).
         (reference caspr.py:76-122 + get_nll_loss 124-146)
+
+        ``nfe_sink``: optional {'latent': 0.0, 'cnf': 0.0} whose gradients
+        report per-solver backward (adjoint) NFE — the reference reads its
+        NFE counter after loss.backward() (train_utils.py:142-148), so
+        train-log parity needs forward + backward counts.
         """
         cfg = self.cfg
         b, t, n, _ = sample_points.shape
@@ -168,9 +179,11 @@ class CaSPRModel:
             out["nfe"] = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
             return out, state
 
+        sink = nfe_sink or {}
         all_times = sample_points[:, :, 0, 3]  # (B, T); caspr.py:106
         feats, ode_nfe = self.aggregate_and_solve_latent(
-            params, z0, all_times, adjoint=training
+            params, z0, all_times, adjoint=training,
+            nfe_sink=sink.get("latent"),
         )
         z = feats.reshape(b * t, cfg.latent_feat_size)
         pts = sample_points[..., :3].reshape(b * t, n, 3)
@@ -185,6 +198,7 @@ class CaSPRModel:
             key,
             reverse=False,
             training=training,
+            nfe_sink=sink.get("cnf"),
         )
         log_py = jnp.sum(standard_normal_logprob(y), axis=-1)  # (B*T, N)
         log_px = log_py - dlogp.reshape(b * t, n)

@@ -205,6 +205,30 @@ def _can_fuse_jvp(cfg: CNFConfig) -> bool:
     return cfg.layer_type == "concatsquash" and cfg.nonlinearity == "softplus"
 
 
+def _dynamics_kernel_mode(cfg: CNFConfig) -> str:
+    """Select the dynamics implementation: the fused Pallas kernel keeps
+    all layer activations VMEM-resident (ops/cnf_fused.py) and is the
+    default on TPU; 'xla' is the jax.jvp composition.
+    CASPR_TPU_CNF_KERNEL=pallas|xla overrides; CASPR_TPU_CNF_MATMUL=bf16
+    additionally runs the kernel's matmuls in bfloat16 (f32 accumulate).
+    """
+    import os
+
+    from ..ops.cnf_fused import can_fuse
+
+    if not can_fuse(cfg):
+        return "xla"
+    mode = os.environ.get("CASPR_TPU_CNF_KERNEL", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    try:
+        import jax as _jax
+
+        return "xla" if _jax.default_backend() in ("cpu", "gpu") else "pallas"
+    except RuntimeError:
+        return "xla"
+
+
 # --------------------------- CNF dynamics ----------------------------------
 
 
@@ -231,15 +255,29 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
         )
 
         e = args["e"]
-        if _can_fuse_jvp(cfg):
+        if _dynamics_kernel_mode(cfg) == "pallas":
+            import os
+
+            from ..ops.cnf_fused import fused_concatsquash_dynamics
+
+            mm_dtype = (
+                "bf16"
+                if os.environ.get("CASPR_TPU_CNF_MATMUL", "f32") == "bf16"
+                else "f32"
+            )
+            dx, div = fused_concatsquash_dynamics(
+                args["params"], tc, x, e, mm_dtype
+            )
+        elif _can_fuse_jvp(cfg):
             dx, jvp_val = odenet_apply_with_jvp(args["params"], cfg, tc, x, e)
+            div = jnp.sum(jvp_val * e, axis=-1)  # e^T J e, (BT, N)
         else:
 
             def f(x_):
                 return odenet_apply(args["params"], cfg, tc, x_)
 
             dx, jvp_val = jax.jvp(f, (x,), (e,))
-        div = jnp.sum(jvp_val * e, axis=-1)  # e^T J e, (BT, N)
+            div = jnp.sum(jvp_val * e, axis=-1)
         dx = dx.reshape(bt, -1)
         if reverse:
             return (-dx, div)
@@ -258,11 +296,14 @@ def cnf_block_init(key, cfg: CNFConfig):
     return params
 
 
-def cnf_block_apply(params, cfg: CNFConfig, x, context, logpx, key, reverse):
+def cnf_block_apply(
+    params, cfg: CNFConfig, x, context, logpx, key, reverse, nfe_sink=None
+):
     """One CNF block. x: (B, N, D); context: (B, zdim); logpx: (B, N, 1).
 
     Returns (y, logpy, nfe).  The Hutchinson noise is sampled once per solve
-    and held fixed across evaluations (odefunc.py:126-128).
+    and held fixed across evaluations (odefunc.py:126-128).  ``nfe_sink``'s
+    gradient reports adjoint-pass NFE (see ops.odeint.odeint_adjoint).
     """
     if cfg.train_T:
         t_end = params["sqrt_end_time"] * params["sqrt_end_time"]
@@ -281,7 +322,7 @@ def cnf_block_apply(params, cfg: CNFConfig, x, context, logpx, key, reverse):
     # lane-packed solver state (see _make_dynamics)
     state0 = (x.reshape(bt, n * d), logpx.reshape(bt, n))
     (xs, lps), nfe = odeint_adjoint(
-        dyn, state0, ts, args, rtol=cfg.rtol, atol=cfg.atol
+        dyn, state0, ts, args, rtol=cfg.rtol, atol=cfg.atol, nfe_sink=nfe_sink
     )
     return xs[1].reshape(bt, n, d), lps[1].reshape(bt, n, 1), nfe
 
@@ -393,6 +434,7 @@ def flow_apply(
     *,
     reverse: bool = False,
     training: bool = False,
+    nfe_sink=None,
 ):
     """Run the full chain. Returns (y, logpy, new_state, nfe).
 
@@ -417,7 +459,7 @@ def flow_apply(
                 jnp.zeros(x.shape[:-1] + (1,), x.dtype) if logpx is None else logpx
             )
             x, logpx_out, block_nfe = cnf_block_apply(
-                params[i], cfg, x, context, lp, keys[ki], reverse
+                params[i], cfg, x, context, lp, keys[ki], reverse, nfe_sink
             )
             logpx = None if logpx is None else logpx_out
             nfe = nfe + block_nfe

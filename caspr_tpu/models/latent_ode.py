@@ -65,7 +65,9 @@ def _ode_func(t, z, params):
     return dynamics_apply(params, z)
 
 
-def latent_ode_solve(params, cfg: LatentODEConfig, z0, t, *, adjoint: bool):
+def latent_ode_solve(
+    params, cfg: LatentODEConfig, z0, t, *, adjoint: bool, nfe_sink=None
+):
     """Advect z0 (B, H) to every time in t (T,), non-decreasing with t[0]
     the initial time.
 
@@ -79,8 +81,13 @@ def latent_ode_solve(params, cfg: LatentODEConfig, z0, t, *, adjoint: bool):
         z0 = jnp.concatenate(
             [z0, jnp.zeros((z0.shape[0], cfg.augment_size), z0.dtype)], axis=1
         )
-    solver = odeint_adjoint if adjoint else odeint
-    zs, nfe = solver(
-        _ode_func, z0, rel_t, params, rtol=cfg.rtol, atol=cfg.atol
-    )  # (T, B, H')
+    if adjoint:
+        zs, nfe = odeint_adjoint(
+            _ode_func, z0, rel_t, params, rtol=cfg.rtol, atol=cfg.atol,
+            nfe_sink=nfe_sink,
+        )  # (T, B, H')
+    else:
+        zs, nfe = odeint(
+            _ode_func, z0, rel_t, params, rtol=cfg.rtol, atol=cfg.atol
+        )
     return jnp.transpose(zs, (1, 0, 2)), nfe

@@ -1,0 +1,276 @@
+"""Fused Pallas kernel for the CNF dynamics: concatsquash layers +
+softplus + the Hutchinson JVP in one VMEM-resident pass.
+
+This is the hot loop of the whole model (reference
+caspr/models/odefunc.py:119-138 runs it as separate torch matmuls): every
+dynamics evaluation pushes (BT*N, hidden) activations through 4 layers for
+both the primal and the JVP tangent.  Under plain XLA each layer's
+activation tensor materializes in HBM (671 MB at the eval point BT=160,
+N=2048, hidden=512), making the op HBM-bound at ~5-10 GB of traffic per
+NFE.  The kernel below keeps every intermediate in VMEM; HBM traffic drops
+to the inputs/outputs (~15 MB per NFE) and the op becomes MXU-bound.
+
+Layout (chosen so no data relayouts are needed in the hot path):
+  - activations ride as (channel on sublanes, point on lanes) tiles
+  - primal and tangent are stacked along the LANE axis: z = [z_p | z_t]
+    (d, 2R), so each layer is ONE matmul W @ z with W in its stored
+    torch (out, in) layout -- no weight transpose, and the tangent
+    recurrence (gate scaling, sigmoid(pre) chain rule) shares the gate
+    broadcasts with the primal
+  - xyz inputs/outputs travel as zero-padded planes (BT, 8, N): the
+    first/last layers contract over the 8 padded coordinate sublanes
+    with zero-padded weight columns/rows
+  - the 8 per-(bt,layer) context vectors (4 sigmoid gates, 4 effective
+    biases) arrive as one (BT, 8, hidden) array; a single tiny (8, hidden)
+    transpose per program puts them on sublanes
+
+The context-dependent gate/bias projections (tiny (BT, 1+zdim) matmuls,
+<0.1% of the FLOPs) stay in XLA outside the kernel.
+
+Matmuls optionally run in bfloat16 with float32 accumulation
+(CASPR_TPU_CNF_MATMUL=bf16): v5e's MXU has 4x the bf16 throughput, while
+activations, gates and the nonlinearity stay f32.  Quality/NFE impact is
+benchmarked in BENCHMARKS.md before this is ever a default.
+
+Gradients: wrapped in jax.custom_vjp whose backward differentiates the
+mathematically-identical XLA composition, so the continuous adjoint
+(ops/odeint.py) trains through it unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn import linear
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_kernel(num_hidden, r, matmul_dtype, y_ref, e_ref, gb_ref,
+                  w_first_ref, w_hidden_ref, w_last_ref, dx_ref, div_ref):
+    """One program = one (bt, point-tile) pair.
+
+    y/e: (1, 8, R) coordinate planes (rows 3..7 zero).
+    gb: (1, 8, H): rows 0..L-1 = sigmoid gates of the L layers (last
+        layer's gate occupies channels 0..2), rows L..2L-1 = effective
+        biases (bias * gate + hyper_bias), zero-padded to 8 rows.
+    w_first: (H, 8) first-layer weight, columns 3..7 zero.
+    w_hidden: (num_hidden, H, H) hidden-layer weights (torch (out, in)).
+    w_last: (8, H) last-layer weight, rows 3..7 zero.
+    dx: (1, 8, R) output planes; div: (1, 1, R) tangent-dot-noise.
+    """
+    yp = y_ref[0]  # (8, R)
+    ep = e_ref[0]
+    num_layers = num_hidden + 2  # first + hidden + last
+
+    gbt = jnp.transpose(gb_ref[0])  # (H, 8): channel on sublanes
+    gate_col = lambda i: gbt[:, i:i + 1]
+    beff_col = lambda i: gbt[:, num_layers + i:num_layers + i + 1]
+
+    def mm(w, z):
+        if matmul_dtype == "bf16":
+            w = w.astype(jnp.bfloat16)
+            z = z.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            w, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def layer(z, w, gate, beff, last):
+        m = mm(w, z) * gate  # (d_out, 2R)
+        zp = m[:, :r] + beff
+        zt = m[:, r:]
+        if not last:
+            zt = zt * jax.nn.sigmoid(zp)
+            zp = jax.nn.softplus(zp)
+        return jnp.concatenate([zp, zt], axis=1)
+
+    z = jnp.concatenate([yp, ep], axis=1)  # (8, 2R)
+    z = layer(z, w_first_ref[:], gate_col(0), beff_col(0), last=False)
+    for i in range(num_hidden):
+        z = layer(z, w_hidden_ref[i], gate_col(1 + i), beff_col(1 + i),
+                  last=False)
+    # last layer back to coordinate planes; gate/bias live in channels 0..2
+    z = layer(z, w_last_ref[:],
+              gate_col(num_layers - 1)[0:8], beff_col(num_layers - 1)[0:8],
+              last=True)
+
+    dx_ref[0] = z[:, :r]
+    # divergence: e^T (J e) summed over the (zero-padded) coordinate rows
+    div_ref[0] = jnp.sum(z[:, r:] * ep, axis=0, keepdims=True)
+
+
+def _planes(x):
+    """(BT, N, 3) -> (BT, 8, N) zero-padded coordinate planes."""
+    p = jnp.moveaxis(x, -1, 1)  # (BT, 3, N)
+    return jnp.pad(p, ((0, 0), (0, 8 - p.shape[1]), (0, 0)))
+
+
+def _context_gb(params, tc):
+    """Per-layer sigmoid gates and effective biases from the context.
+
+    Returns (BT, 8, H): rows 0..L-1 gates, rows L..2L-1 bias*gate +
+    hyper_bias (the constant-in-y part of concatsquash,
+    diffeq_layers.py:76-90), zero-padded to 8 rows.  The last layer's
+    rows are zero-padded past its input_dim output channels.
+    """
+    layers = params["layers"]
+    h = layers[0]["_layer"]["weight"].shape[0]
+    gates, beffs = [], []
+    for lp in layers:
+        g = jax.nn.sigmoid(linear(lp["_hyper_gate"], tc))  # (BT, d_out)
+        be = lp["_layer"]["bias"] * g + linear(lp["_hyper_bias"], tc)
+        d_out = g.shape[-1]
+        if d_out < h:
+            g = jnp.pad(g, ((0, 0), (0, h - d_out)))
+            be = jnp.pad(be, ((0, 0), (0, h - d_out)))
+        gates.append(g)
+        beffs.append(be)
+    gb = jnp.stack(gates + beffs, axis=1)  # (BT, 2L, H)
+    if gb.shape[1] < 8:
+        gb = jnp.pad(gb, ((0, 0), (0, 8 - gb.shape[1]), (0, 0)))
+    return gb
+
+
+@functools.partial(jax.jit, static_argnames=("matmul_dtype",))
+def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
+    """y, e: (BT, N, 3) -> (dx (BT, N, 3), div (BT, N))."""
+    bt, n, d = y.shape
+    h = w_first.shape[0]
+    num_hidden = w_hidden.shape[0]
+    n_pad = _round_up(n, _LANES)
+
+    yp = _planes(y)
+    ep = _planes(e)
+    if n_pad != n:
+        yp = jnp.pad(yp, ((0, 0), (0, 0), (0, n_pad - n)))
+        ep = jnp.pad(ep, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    r = min(512, n_pad)
+    while n_pad % r:
+        r //= 2
+
+    kernel = functools.partial(_fused_kernel, num_hidden, r, matmul_dtype)
+    plane_spec = pl.BlockSpec(
+        (1, 8, r), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dx, div = pl.pallas_call(
+        kernel,
+        grid=(bt, n_pad // r),
+        in_specs=[
+            plane_spec,
+            plane_spec,
+            pl.BlockSpec((1, 8, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_hidden, h, h), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            plane_spec,
+            pl.BlockSpec((1, 1, r), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bt, 1, n_pad), jnp.float32),
+        ],
+    )(yp, ep, gb, w_first, w_hidden, w_last)
+    dx = jnp.moveaxis(dx[:, :d, :n], 1, -1)  # (BT, N, 3)
+    return dx, div[:, 0, :n]
+
+
+def _reference_dynamics(params, tc, y, e):
+    """Mathematically-identical XLA composition (for grads and tests):
+    concatsquash stack with softplus, plus the Hutchinson JVP/divergence.
+    Mirrors models.cnf.odenet_apply under jax.jvp."""
+    layers = params["layers"]
+    num = len(layers)
+
+    def f(x):
+        dx = x
+        for i, lp in enumerate(layers):
+            gate = jax.nn.sigmoid(linear(lp["_hyper_gate"], tc))[:, None, :]
+            bias = linear(lp["_hyper_bias"], tc)[:, None, :]
+            dx = linear(lp["_layer"], dx) * gate + bias
+            if i < num - 1:
+                dx = jax.nn.softplus(dx)
+        return dx
+
+    dx, jvp_val = jax.jvp(f, (y,), (e,))
+    return dx, jnp.sum(jvp_val * e, axis=-1)
+
+
+def _pack_weights(params):
+    layers = params["layers"]
+    h = layers[0]["_layer"]["weight"].shape[0]
+    w_first = jnp.pad(
+        layers[0]["_layer"]["weight"],
+        ((0, 0), (0, 8 - layers[0]["_layer"]["weight"].shape[1])),
+    )  # (H, 8)
+    w_hidden = jnp.stack(
+        [lp["_layer"]["weight"] for lp in layers[1:-1]], axis=0
+    )  # (num_hidden, H, H)
+    w_last = jnp.pad(
+        layers[-1]["_layer"]["weight"],
+        ((0, 8 - layers[-1]["_layer"]["weight"].shape[0]), (0, 0)),
+    )  # (8, H)
+    return w_first, w_hidden, w_last
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_concatsquash_dynamics(params, tc, y, e, matmul_dtype="f32"):
+    """(f(y), e^T J e) for the concatsquash+softplus ODEnet.
+
+    params: odenet params pytree; tc: (BT, 1+zdim) [t, context];
+    y, e: (BT, N, 3).  Returns (dx (BT, N, 3), div (BT, N)).
+    """
+    gb = _context_gb(params, tc)
+    w_first, w_hidden, w_last = _pack_weights(params)
+    return _fused_call(
+        w_first, w_hidden, w_last, gb, y, e, matmul_dtype=matmul_dtype
+    )
+
+
+def _fused_fwd(params, tc, y, e, matmul_dtype):
+    out = fused_concatsquash_dynamics(params, tc, y, e, matmul_dtype)
+    return out, (params, tc, y, e)
+
+
+def _fused_bwd(matmul_dtype, res, cts):
+    params, tc, y, e = res
+    _, vjp = jax.vjp(
+        lambda p, c, yy: _reference_dynamics(p, c, yy, e), params, tc, y
+    )
+    dp, dtc, dy = vjp(cts)
+    return dp, dtc, dy, jnp.zeros_like(e)
+
+
+fused_concatsquash_dynamics.defvjp(_fused_fwd, _fused_bwd)
+
+
+def can_fuse(cfg) -> bool:
+    """The kernel covers CaSPR's flow configuration: concatsquash layers,
+    softplus nonlinearity, 3-d points, uniform hidden width that is a
+    lane multiple, >= 1 hidden layer."""
+    dims = tuple(cfg.dims)
+    return (
+        cfg.layer_type == "concatsquash"
+        and cfg.nonlinearity == "softplus"
+        and cfg.input_dim <= 8
+        and len(dims) in (2, 3)  # 2(L) gate+bias vectors must fit 8 rows
+        and len(set(dims)) == 1
+        and dims[0] % _LANES == 0
+    )

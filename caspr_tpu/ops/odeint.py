@@ -212,7 +212,12 @@ def _integrate(func, y0, ts, rtol, atol, max_steps):
         return (~jnp.all(s.filled)) & (s.steps < max_steps) & (s.t < t_final)
 
     def body(s: _OdeState):
-        h = jnp.minimum(s.h, t_final - s.t)
+        # NOTE: no clamp of h to land on t_final — torchdiffeq 0.0.1 steps
+        # freely past the last request time and interpolates
+        # (Dopri5Solver.advance: "while next_t > rk_state.t1"), so clamping
+        # would change the step sequence and the NFE counts the reference
+        # logs.  The loop exits once every request time is filled.
+        h = s.h
         ks = [s.f]
         for i in range(6):
             ti = s.t + _C[i + 1].astype(dtype) * h
@@ -321,6 +326,7 @@ def odeint_adjoint(
     rtol: float = 1e-7,
     atol: float = 1e-9,
     max_steps: int = 50_000,
+    nfe_sink: Any = None,
 ):
     """``odeint`` with O(1)-memory continuous-adjoint gradients.
 
@@ -331,15 +337,25 @@ def odeint_adjoint(
     (caspr/models/latent_ode_model.py:98, caspr/models/cnf.py:100-110); the
     backward pass re-integrates the augmented system between output times at
     the same tolerances.
+
+    ``nfe_sink``: optional scalar whose *gradient* reports the number of
+    dynamics evaluations made by the adjoint (backward) pass.  The reference
+    reads its NFE counter after ``loss.backward()`` (train_utils.py:142-148),
+    so its training logs include adjoint-solve evaluations; a caller that
+    differentiates w.r.t. the sink (pass 0.0, read its grad) recovers the
+    same accounting.  The primal outputs never depend on the sink.
     """
+    if nfe_sink is None:
+        nfe_sink = jnp.zeros((), jnp.float32)
 
     @jax.custom_vjp
-    def _run(y0, ts, args):
+    def _run(y0, ts, args, nfe_sink):
+        del nfe_sink  # backward-NFE reporting channel only
         wrapped = lambda t, y: func(t, y, args)
         return _integrate(wrapped, y0, ts, rtol, atol, max_steps)
 
-    def _fwd(y0, ts, args):
-        outs, nfe = _run(y0, ts, args)
+    def _fwd(y0, ts, args, nfe_sink):
+        outs, nfe = _run(y0, ts, args, nfe_sink)
         return (outs, nfe), (outs, ts, args)
 
     def _bwd(res, cts):
@@ -352,6 +368,7 @@ def odeint_adjoint(
                 _tm(lambda g: g[0], g_ys),
                 jnp.zeros_like(ts),
                 _tm(jnp.zeros_like, args),
+                jnp.zeros((), jnp.float32),
             )
 
         def aug_dyn(s, aug, inner):
@@ -372,7 +389,7 @@ def odeint_adjoint(
 
         def interval(carry, i):
             # i runs T-1 .. 1; integrate adjoint from ts[i] down to ts[i-1].
-            a_y, a_args = carry
+            a_y, a_args, nfe_bwd = carry
             y_i = _tm(lambda o: o[i], ys)
             g_i = _tm(lambda g: g[i], g_ys)
             f_i = func(ts[i], y_i, args)
@@ -382,17 +399,19 @@ def odeint_adjoint(
             inner = {"t_hi": ts[i], "args": args}
             aug0 = (y_i, a_y, a_args)
             aug_fn = lambda s, aug: aug_dyn(s, aug, inner)
-            aug_T, _ = _solve_final(
+            aug_T, aug_nfe = _solve_final(
                 aug_fn, aug0, jnp.zeros_like(span), span, rtol, atol, max_steps
             )
             _, a_y, a_args = aug_T
+            # every augmented-dynamics evaluation calls func once; +1 for f_i
+            nfe_bwd = nfe_bwd + aug_nfe + 1.0
             g_prev = _tm(lambda g: g[i - 1], g_ys)
             a_y_with_g = _tm(jnp.add, a_y, g_prev)
-            return (a_y_with_g, a_args), (dldt_i, a_y)
+            return (a_y_with_g, a_args, nfe_bwd), (dldt_i, a_y)
 
         idxs = jnp.arange(num_t - 1, 0, -1)
-        (a_y_final, a_args_final), (dldts, a_at_lo) = lax.scan(
-            interval, (a_y0, a_args0), idxs
+        (a_y_final, a_args_final, nfe_bwd), (dldts, a_at_lo) = lax.scan(
+            interval, (a_y0, a_args0, jnp.zeros((), jnp.float32)), idxs
         )
 
         # dL/dts[i] for i>=1 from the scan (reverse order); dL/dts[0] via
@@ -407,7 +426,7 @@ def odeint_adjoint(
         grad_ts = grad_ts.at[idxs].set(dldts)
         grad_ts = grad_ts.at[0].set(dldt0.astype(ts.dtype))
 
-        return (a_y_final, grad_ts, a_args_final)
+        return (a_y_final, grad_ts, a_args_final, nfe_bwd + 1.0)  # +1: f_0
 
     _run.defvjp(_fwd, _bwd)
-    return _run(y0, ts, args)
+    return _run(y0, ts, args, nfe_sink)

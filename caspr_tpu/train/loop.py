@@ -52,9 +52,9 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
     """Returns jitted step(params, opt_state, mbn_state, x, target, key)."""
 
     def step(params, opt_state, mbn_state, x, target, key):
-        def loss_fn(p):
+        def loss_fn(p, sink):
             out, new_state = model.forward(
-                p, mbn_state, x, target, key, training=True
+                p, mbn_state, x, target, key, training=True, nfe_sink=sink
             )
             loss, cnf_loss, tnocs_loss = compute_losses(
                 out, cnf_loss_weight, tnocs_loss_weight
@@ -71,7 +71,13 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
             }
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        sink0 = {
+            "latent": jnp.zeros((), jnp.float32),
+            "cnf": jnp.zeros((), jnp.float32),
+        }
+        (loss, aux), (grads, nfe_bwd) = jax.value_and_grad(
+            loss_fn, has_aux=True, argnums=(0, 1)
+        )(params, sink0)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = {
@@ -79,7 +85,15 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
             "cnf_loss": aux["cnf_loss"],
             "tnocs_loss": aux["tnocs_loss"],
             "mean_nll": aux["mean_nll"],
+            # forward + adjoint evaluations, matching the reference's
+            # read-NFE-after-backward accounting (train_utils.py:142-148)
             "nfe": jnp.stack(
+                [
+                    aux["nfe"][0].astype(jnp.float32) + nfe_bwd["latent"],
+                    aux["nfe"][1].astype(jnp.float32) + nfe_bwd["cnf"],
+                ]
+            ),
+            "nfe_forward": jnp.stack(
                 [aux["nfe"][0].astype(jnp.float32), aux["nfe"][1].astype(jnp.float32)]
             ),
         }
@@ -178,6 +192,7 @@ def run_one_epoch(
                     float(metrics.get("tnocs_pos_err", 0.0)),
                     float(metrics.get("tnocs_time_err", 0.0)),
                     "TRAIN",
+                    np.asarray(metrics["nfe"]),  # incl. adjoint evals
                 )
                 batch_losses = []
         else:

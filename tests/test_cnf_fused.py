@@ -1,0 +1,160 @@
+"""Fused CNF dynamics kernel (ops/cnf_fused.py) vs the XLA jax.jvp
+composition, through the TPU interpreter on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from caspr_tpu.models.cnf import CNFConfig, odenet_apply, odenet_init
+from caspr_tpu.ops.cnf_fused import (
+    _reference_dynamics,
+    can_fuse,
+    fused_concatsquash_dynamics,
+)
+
+CFG = CNFConfig(input_dim=3, dims=(128, 128, 128), zdim=16)
+
+
+def _setup(key=0, bt=2, n=256, cfg=CFG):
+    k = jax.random.split(jax.random.PRNGKey(key), 4)
+    params = odenet_init(k[0], cfg)
+    tc = jax.random.normal(k[1], (bt, 1 + cfg.zdim)) * 0.5
+    y = jax.random.normal(k[2], (bt, n, cfg.input_dim))
+    e = jax.random.normal(k[3], (bt, n, cfg.input_dim))
+    return params, tc, y, e
+
+
+def _xla_oracle(params, cfg, tc, y, e):
+    dx, jvp_val = jax.jvp(
+        lambda x_: odenet_apply(params, cfg, tc, x_), (y,), (e,)
+    )
+    return dx, jnp.sum(jvp_val * e, axis=-1)
+
+
+def test_can_fuse_gating():
+    assert can_fuse(CFG)
+    assert can_fuse(CNFConfig(dims=(512, 512, 512), zdim=1600))
+    assert not can_fuse(CNFConfig(dims=(32, 32)))  # not lane-aligned
+    assert not can_fuse(CNFConfig(dims=(512, 256, 512)))  # non-uniform
+    assert not can_fuse(CNFConfig(layer_type="concat"))
+    assert not can_fuse(CNFConfig(nonlinearity="tanh"))
+
+
+def test_fused_matches_xla_jvp_interpret():
+    params, tc, y, e = _setup()
+    want_dx, want_div = _xla_oracle(params, CFG, tc, y, e)
+    with pltpu.force_tpu_interpret_mode():
+        got_dx, got_div = fused_concatsquash_dynamics(params, tc, y, e)
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(want_dx), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_div), np.asarray(want_div), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_fused_ragged_points_padding():
+    # N not a lane multiple exercises the pad/slice path
+    params, tc, y, e = _setup(key=1, bt=3, n=200)
+    want_dx, want_div = _xla_oracle(params, CFG, tc, y, e)
+    with pltpu.force_tpu_interpret_mode():
+        got_dx, got_div = fused_concatsquash_dynamics(params, tc, y, e)
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(want_dx), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_div), np.asarray(want_div), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_reference_dynamics_matches_model_path():
+    # the custom_vjp backward differentiates _reference_dynamics; it must
+    # be the same math as the model's jax.jvp composition
+    params, tc, y, e = _setup(key=2)
+    want = _xla_oracle(params, CFG, tc, y, e)
+    got = _reference_dynamics(params, tc, y, e)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_gradients_match_xla():
+    params, tc, y, e = _setup(key=3, bt=2, n=128)
+
+    def loss_fused(p, c, yy):
+        with pltpu.force_tpu_interpret_mode():
+            dx, div = fused_concatsquash_dynamics(p, c, yy, e)
+        return jnp.sum(dx**2) + jnp.sum(jnp.sin(div))
+
+    def loss_xla(p, c, yy):
+        dx, div = _xla_oracle(p, CFG, c, yy, e)
+        return jnp.sum(dx**2) + jnp.sum(jnp.sin(div))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(params, tc, y)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(params, tc, y)
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    flat_x = jax.tree_util.tree_leaves(g_xla)
+    for a, b in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
+
+
+def test_fused_two_dims_config():
+    cfg = CNFConfig(input_dim=3, dims=(128, 128), zdim=8)
+    assert can_fuse(cfg)
+    params, tc, y, e = _setup(key=4, bt=2, n=128, cfg=cfg)
+    want_dx, want_div = _xla_oracle(params, cfg, tc, y, e)
+    with pltpu.force_tpu_interpret_mode():
+        got_dx, got_div = fused_concatsquash_dynamics(params, tc, y, e)
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(want_dx), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_div), np.asarray(want_div), rtol=2e-5, atol=2e-4
+    )
+
+
+def test_bf16_matmul_mode_close():
+    params, tc, y, e = _setup(key=5)
+    want_dx, want_div = _xla_oracle(params, CFG, tc, y, e)
+    with pltpu.force_tpu_interpret_mode():
+        got_dx, got_div = fused_concatsquash_dynamics(params, tc, y, e,
+                                                      "bf16")
+    # bf16 matmuls: ~0.4% relative error budget
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(want_dx), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_div), np.asarray(want_div), rtol=0.05, atol=0.5
+    )
+
+
+def test_cnf_block_end_to_end_fused_vs_xla(monkeypatch):
+    """cnf_block_apply with the pallas dynamics must reproduce the XLA
+    path (same solve, same NFE) at small scale."""
+    from caspr_tpu.models.cnf import cnf_block_apply, cnf_block_init
+
+    cfg = CNFConfig(input_dim=3, dims=(128, 128), zdim=8,
+                    atol=1e-4, rtol=1e-4)
+    key = jax.random.PRNGKey(7)
+    params = cnf_block_init(key, cfg)
+    x = jax.random.normal(key, (2, 64, 3)) * 0.3
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.zdim)) * 0.3
+    lp = jnp.zeros((2, 64, 1))
+
+    monkeypatch.setenv("CASPR_TPU_CNF_KERNEL", "xla")
+    y_x, lp_x, nfe_x = cnf_block_apply(params, cfg, x, ctx, lp, key, False)
+
+    monkeypatch.setenv("CASPR_TPU_CNF_KERNEL", "pallas")
+    with pltpu.force_tpu_interpret_mode():
+        y_p, lp_p, nfe_p = cnf_block_apply(
+            params, cfg, x, ctx, lp, key, False
+        )
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x),
+                               rtol=1e-4, atol=1e-3)
+    assert abs(float(nfe_p) - float(nfe_x)) <= 6.0

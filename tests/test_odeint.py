@@ -204,3 +204,47 @@ def test_adjoint_nfe_and_fwd_nfe_reported():
         rtol=1e-6, atol=1e-8,
     )
     assert float(nfe) >= 8.0
+
+
+def test_backward_nfe_via_sink_gradient():
+    """The nfe_sink gradient reports adjoint-pass dynamics evaluations
+    (reference reads NFE after loss.backward(), train_utils.py:142-148)."""
+    func = lambda t, y, args: args * y
+
+    def loss(y0, sink):
+        ys, _ = odeint_adjoint(
+            func, y0, jnp.array([0.0, 0.5, 1.0]), jnp.asarray(-0.5),
+            rtol=1e-6, atol=1e-8, nfe_sink=sink,
+        )
+        return jnp.sum(ys[1:] ** 2)
+
+    y0 = jnp.ones(3)
+    (g_y0, nfe_bwd) = jax.grad(loss, argnums=(0, 1))(y0, jnp.zeros(()))
+    nfe_bwd = float(nfe_bwd)
+    # two intervals: each >= (2 init + 6 per step) aug evals + 1 (f_i), +1 f_0
+    assert nfe_bwd >= 2 * 9 + 1
+    assert nfe_bwd == int(nfe_bwd)  # a whole number of evaluations
+    # the sink must not perturb the real gradients
+    g_ref = jax.grad(
+        lambda y: jnp.sum(
+            odeint_adjoint(
+                func, y, jnp.array([0.0, 0.5, 1.0]), jnp.asarray(-0.5),
+                rtol=1e-6, atol=1e-8,
+            )[0][1:]
+            ** 2
+        )
+    )(y0)
+    np.testing.assert_allclose(np.asarray(g_y0), np.asarray(g_ref), rtol=1e-6)
+
+
+def test_backward_nfe_zero_for_identity_interval():
+    func = lambda t, y, args: args * y
+    nfe_bwd = jax.grad(
+        lambda s: jnp.sum(
+            odeint_adjoint(
+                func, jnp.ones(2), jnp.array([0.0]), jnp.asarray(-0.5),
+                nfe_sink=s,
+            )[0]
+        ),
+    )(jnp.zeros(()))
+    assert float(nfe_bwd) == 0.0

@@ -90,3 +90,38 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_on_multislice_mesh():
+    """2-slice (dcn, dp) mesh (beyond-reference multi-slice DP): the
+    hierarchically-reduced step must agree with the single-device one."""
+    from caspr_tpu.parallel.mesh import DCN_AXIS, DP_AXIS
+
+    mesh = make_mesh(jax.devices()[:8], num_slices=2)
+    assert mesh.axis_names == (DCN_AXIS, DP_AXIS)
+    assert mesh.devices.shape == (2, 4)
+
+    cfg = CaSPRConfig(**TINY)
+    model = CaSPRModel(cfg)
+    key = jax.random.PRNGKey(5)
+    params, state = caspr_init(key, cfg)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    x, tgt = _batch(key, 8, 2, 32)
+
+    step = make_train_step(model, tx, 0.01, 100.0)
+    p1, _, _, m1 = step(
+        replicate(mesh, params), replicate(mesh, opt_state),
+        replicate(mesh, state), *shard_batch(mesh, (x, tgt)), key
+    )
+
+    params2, state2 = caspr_init(jax.random.PRNGKey(5), cfg)
+    opt2 = tx.init(params2)
+    p2, _, _, m2 = make_train_step(model, tx, 0.01, 100.0)(
+        params2, opt2, state2, x, tgt, key
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

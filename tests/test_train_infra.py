@@ -121,3 +121,28 @@ def test_adam_matches_torch_semantics():
     updates, _ = tx.update({"w": jnp.asarray(g)}, opt_state, params)
     got = np.asarray(optax.apply_updates(params, updates)["w"])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_nfe_includes_backward():
+    """Train-step logged NFE = forward + adjoint evals per solver, matching
+    the reference's read-NFE-after-backward (train_utils.py:142-148)."""
+    from caspr_tpu.train.loop import make_train_step
+
+    cfg = CaSPRConfig(**TINY)
+    model = CaSPRModel(cfg)
+    key = jax.random.PRNGKey(3)
+    params, state = caspr_init(key, cfg)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    b, t, n = 2, 2, 16
+    x = jax.random.uniform(key, (b, t, n, 4))
+    times = jnp.broadcast_to(jnp.linspace(0.0, 1.0, t), (b, t))
+    x = x.at[..., 3].set(times[:, :, None])
+    tgt = x
+    step = make_train_step(model, tx, 0.01, 100.0)
+    _, _, _, metrics = step(params, opt_state, state, x, tgt, key)
+    nfe = np.asarray(metrics["nfe"])
+    nfe_fwd = np.asarray(metrics["nfe_forward"])
+    assert np.all(nfe > nfe_fwd)  # both solvers ran an adjoint pass
+    assert np.all(nfe_fwd > 0)
+    assert np.all(np.isfinite(nfe))

@@ -1,5 +1,9 @@
 """Isolate CNF decode cost: raw dynamics evaluations vs the full adaptive
-solve, to separate network cost from solver-loop overhead."""
+solve, across dynamics implementations (XLA jvp vs fused Pallas kernel vs
+fused Pallas with bf16 matmuls).
+
+Env: BT, N override shapes (defaults BT=20 N=2048; eval point is BT=160).
+"""
 
 import os
 import sys
@@ -16,9 +20,23 @@ enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
-from caspr_tpu.models.cnf import CNFConfig, _make_dynamics, cnf_block_init, cnf_block_apply
+from caspr_tpu.models.cnf import (
+    CNFConfig,
+    _make_dynamics,
+    cnf_block_apply,
+    cnf_block_init,
+)
 
-BT, N = 20, 2048
+BT = int(os.environ.get("BT", "20"))
+N = int(os.environ.get("N", "2048"))
+
+MODES = [
+    ("xla", {"CASPR_TPU_CNF_KERNEL": "xla", "CASPR_TPU_CNF_MATMUL": "f32"}),
+    ("pallas", {"CASPR_TPU_CNF_KERNEL": "pallas",
+                "CASPR_TPU_CNF_MATMUL": "f32"}),
+    ("pallas+bf16", {"CASPR_TPU_CNF_KERNEL": "pallas",
+                     "CASPR_TPU_CNF_MATMUL": "bf16"}),
+]
 
 
 def sync(o):
@@ -33,7 +51,7 @@ def timeit(fn, *args, iters=3):
     for _ in range(iters):
         out = fn(*args)
     sync(out)
-    return (time.perf_counter() - start) / iters
+    return (time.perf_counter() - start) / iters, out
 
 
 def main():
@@ -45,7 +63,6 @@ def main():
     e = jax.random.normal(jax.random.fold_in(key, 1), (BT, N, 3))
     lp = jnp.zeros((BT, N, 1))
 
-    dyn = _make_dynamics(cfg, reverse=False)
     args = {
         "params": params["odenet"],
         "context": ctx,
@@ -53,30 +70,46 @@ def main():
         "t_end": jnp.asarray(0.5),
     }
     state = (x.reshape(BT, -1), lp.reshape(BT, -1))
-
     reps = 24
+    results = {}
 
-    @jax.jit
-    def dynamics_chain(state, args):
-        # chain dependent evaluations so nothing can be elided/overlapped
-        def body(i, s):
-            dx, dlp = dyn(jnp.float32(0.3), s, args)
-            return (s[0] + 1e-6 * dx, s[1] + 1e-6 * dlp)
+    for name, env in MODES:
+        os.environ.update(env)
+        dyn = _make_dynamics(cfg, reverse=False)  # traces env at call time
 
-        return jax.lax.fori_loop(0, reps, body, state)
+        @jax.jit
+        def dynamics_chain(state, args, dyn=dyn):
+            # chain dependent evaluations so nothing can be elided
+            def body(i, s):
+                dx, dlp = dyn(jnp.float32(0.3), s, args)
+                return (s[0] + 1e-6 * dx, s[1] + 1e-6 * dlp)
 
-    t_dyn = timeit(dynamics_chain, state, args)
-    print(f"{reps} chained dynamics evals: {t_dyn*1000:.1f} ms "
-          f"({t_dyn/reps*1000:.2f} ms/NFE)")
+            return jax.lax.fori_loop(0, reps, body, state)
 
-    @jax.jit
-    def full_block(x, ctx, lp, k):
-        return cnf_block_apply(params, cfg, x, ctx, lp, k, reverse=False)
+        t_dyn, _ = timeit(dynamics_chain, state, args)
+        one = jax.jit(lambda s, a, dyn=dyn: dyn(jnp.float32(0.3), s, a))
+        _, out1 = timeit(one, state, args, iters=1)
+        results[name] = (t_dyn / reps, out1)
+        print(f"[{name:12s}] {reps} chained dynamics evals: "
+              f"{t_dyn*1000:.1f} ms ({t_dyn/reps*1000:.2f} ms/NFE)")
 
-    t_blk = timeit(full_block, x, ctx, lp, key)
-    _, _, nfe = full_block(x, ctx, lp, key)
-    print(f"full cnf block solve: {t_blk*1000:.1f} ms at NFE={float(nfe)} "
-          f"({t_blk/float(nfe)*1000:.2f} ms/NFE incl solver overhead)")
+        @jax.jit
+        def full_block(x, ctx, lp, k):
+            return cnf_block_apply(params, cfg, x, ctx, lp, k, reverse=False)
+
+        t_blk, _ = timeit(full_block, x, ctx, lp, key)
+        _, _, nfe = full_block(x, ctx, lp, key)
+        print(f"[{name:12s}] full cnf block solve: {t_blk*1000:.1f} ms at "
+              f"NFE={float(nfe)} "
+              f"({t_blk/float(nfe)*1000:.2f} ms/NFE incl solver overhead)")
+
+    # numeric cross-check vs the XLA path
+    ref_dx, ref_dlp = results["xla"][1]
+    for name in ("pallas", "pallas+bf16"):
+        dx, dlp = results[name][1]
+        err_dx = float(jnp.max(jnp.abs(dx - ref_dx)))
+        err_lp = float(jnp.max(jnp.abs(dlp - ref_dlp)))
+        print(f"[{name:12s}] max |Δdx|={err_dx:.3e}  max |Δdiv|={err_lp:.3e}")
 
 
 if __name__ == "__main__":
