@@ -27,10 +27,15 @@ Layout (chosen so no data relayouts are needed in the hot path):
 The context-dependent gate/bias projections (tiny (BT, 1+zdim) matmuls,
 <0.1% of the FLOPs) stay in XLA outside the kernel.
 
-Matmuls optionally run in bfloat16 with float32 accumulation
-(CASPR_TPU_CNF_MATMUL=bf16): v5e's MXU has 4x the bf16 throughput, while
-activations, gates and the nonlinearity stay f32.  Quality/NFE impact is
-benchmarked in BENCHMARKS.md before this is ever a default.
+Matmul precision: with no explicit cast, lax.dot_general follows JAX's
+global default matmul precision, which on TPU is a ONE-PASS bf16 MXU
+matmul for f32 operands — the same precision every other matmul in the
+model runs at under the default ``--matmul-precision`` flag.
+``CASPR_TPU_CNF_MATMUL=bf16`` additionally casts the matmul inputs to
+bfloat16 explicitly; measured on v5e this is bit-identical to the
+default-precision result (the MXU sees the same operand truncation) and
+~10% faster (halved VMEM operand traffic).  Do not combine it with
+``--matmul-precision float32``, which requests 3-pass f32 fidelity.
 
 Gradients: wrapped in jax.custom_vjp whose backward differentiates the
 mathematically-identical XLA composition, so the continuous adjoint
