@@ -98,17 +98,31 @@ def group_norm(params, x, num_groups: int, eps: float = 1e-5):
     and the C/G channels of the group — identical semantics to
     torch.nn.GroupNorm applied to the channels-first mirror of ``x``
     (biased variance, eps=1e-5).
+
+    Implementation note: the big tensor is only ever touched in its native
+    ``(B, S, C)`` layout.  Reshaping it to (B, S, G, C/G) for the stats —
+    the obvious transcription — leaves a trailing dim as small as 1 that
+    TPU pads to the 128-lane tile, collapsing VPU efficiency and inserting
+    relayouts around every op (measured: the encoder's SA stack spent more
+    time in GN than in its matmuls).  Instead reduce over spatial to a
+    tiny (B, C) tensor first and do all group gymnastics there.
     """
     orig_shape = x.shape
     b = orig_shape[0]
     c = orig_shape[-1]
     spatial = int(math.prod(orig_shape[1:-1])) if len(orig_shape) > 2 else 1
     g = num_groups
-    xg = x.reshape(b, spatial, g, c // g)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(orig_shape)
+    cg = c // g
+    x3 = x.reshape(b, spatial, c)
+
+    def group_mean(t3):
+        per_channel = jnp.mean(t3, axis=1)  # (B, C): lane-friendly reduce
+        grp = jnp.mean(per_channel.reshape(b, g, cg), axis=-1)  # (B, G)
+        return jnp.repeat(grp, cg, axis=-1).reshape(b, 1, c)  # back to (B,1,C)
+
+    mean = group_mean(x3)
+    var = group_mean(jnp.square(x3 - mean))
+    out = ((x3 - mean) * jax.lax.rsqrt(var + eps)).reshape(orig_shape)
     return out * params["weight"] + params["bias"]
 
 

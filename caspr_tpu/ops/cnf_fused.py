@@ -45,6 +45,7 @@ mathematically-identical XLA composition, so the continuous adjoint
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +161,7 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
         yp = jnp.pad(yp, ((0, 0), (0, 0), (0, n_pad - n)))
         ep = jnp.pad(ep, ((0, 0), (0, 0), (0, n_pad - n)))
 
-    r = min(512, n_pad)
+    r = min(int(os.environ.get("CASPR_TPU_CNF_TILE", "1024")), n_pad)
     while n_pad % r:
         r //= 2
 

@@ -106,10 +106,31 @@ def farthest_point_sampling_xla(xyz, num_samples: int):
 def gather_points(points, idx):
     """Gather along the point axis. points: (B, N, C), idx: (B, ...) int ->
     (B, ..., C).  Replaces kaolin fps_gather_by_index (reference
-    caspr/models/pointnet2.py:385-386) in channels-last layout."""
-    b, _, c = points.shape
+    caspr/models/pointnet2.py:385-386) in channels-last layout.
+
+    On TPU this dispatches to a one-hot-matmul Pallas kernel (exact; see
+    pallas_kernels.gather_rows_pallas) whenever the per-batch source slab
+    fits VMEM — XLA's native gather is row-at-a-time on TPU and was the
+    single largest cost of the encoder.
+    """
+    b, n, c = points.shape
     flat_idx = idx.reshape(b, -1)
-    out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
+    # The one-hot contraction wins in the many-rows/few-channels regime
+    # (XLA's gather cost is per row; the kernel's grows with C via the
+    # HIGHEST-precision matmul passes).  Measured crossover ~C=32; at
+    # C>=99 XLA take_along is already cheaper.  VMEM guard on the source.
+    src_vmem = n * (((c + 127) // 128) * 128) * 4
+    if (
+        _use_pallas()
+        and points.dtype == jnp.float32
+        and c <= 32
+        and src_vmem <= 4 * 1024 * 1024
+    ):
+        from .pallas_kernels import gather_rows_pallas
+
+        out = gather_rows_pallas(points, flat_idx)
+    else:
+        out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
     return out.reshape(*idx.shape, c)
 
 
@@ -173,14 +194,17 @@ def group_points(xyz, new_xyz, features, idx, use_xyz_feature: bool = True):
     features; see reference caspr/models/pointnet2.py:391-394 which expects
     (B, M, C+3, K) channels-first — ours is the channels-last mirror).
     """
-    grouped_xyz = gather_points(xyz, idx)  # (B, M, K, 3)
-    rel_xyz = grouped_xyz - new_xyz[:, :, None, :]
     if features is None:
-        return rel_xyz
-    grouped_feat = gather_points(features, idx)  # (B, M, K, C)
+        grouped_xyz = gather_points(xyz, idx)  # (B, M, K, 3)
+        return grouped_xyz - new_xyz[:, :, None, :]
+    # one fused gather over [xyz | features] instead of two passes
+    grouped = gather_points(
+        jnp.concatenate([xyz, features], axis=-1), idx
+    )  # (B, M, K, 3+C)
+    rel_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
     if use_xyz_feature:
-        return jnp.concatenate([rel_xyz, grouped_feat], axis=-1)
-    return grouped_feat
+        return jnp.concatenate([rel_xyz, grouped[..., 3:]], axis=-1)
+    return grouped[..., 3:]
 
 
 def three_nn(query_xyz, source_xyz):

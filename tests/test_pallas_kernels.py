@@ -69,3 +69,35 @@ def test_three_nn_pallas_matches_xla_interpret():
     np.testing.assert_array_equal(
         np.sort(np.asarray(got_i), axis=-1), np.sort(np.asarray(want_i), axis=-1)
     )
+
+
+def test_gather_rows_pallas_exact_interpret():
+    rng = np.random.RandomState(7)
+    src = jnp.asarray(rng.randn(3, 200, 9).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 200, size=(3, 77)).astype(np.int32))
+    from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(gather_rows_pallas(src, idx))
+    want = np.asarray(
+        jnp.take_along_axis(src, idx[:, :, None], axis=1)
+    )
+    np.testing.assert_array_equal(got, want)  # bit-exact row copies
+
+
+def test_gather_points_group_points_dispatch_interpret(monkeypatch):
+    """group_points through the Pallas gather must equal the XLA path."""
+    from caspr_tpu.ops.pointops import ball_query_xla, group_points
+
+    rng = np.random.RandomState(8)
+    xyz = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    new_xyz = xyz[:, :32]
+    feats = jnp.asarray(rng.randn(2, 128, 5).astype(np.float32))
+    idx = ball_query_xla(xyz, new_xyz, 0.3, 8)
+
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "xla")
+    want = np.asarray(group_points(xyz, new_xyz, feats, idx))
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(group_points(xyz, new_xyz, feats, idx))
+    np.testing.assert_array_equal(got, want)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
 
-BATCH, T, N = 2, 10, 2048
+BATCH, T, N = int(__import__("os").environ.get("BATCH", "2")), 10, 2048
 
 
 def timeit(fn, *args, iters=5, warmup=1, vary=0):
