@@ -178,6 +178,31 @@ def pointnet2_init(key, cfg: PointNet2Config):
     return params
 
 
+def _use_fused_sa(cfg, sp, xyz, new_xyz, k) -> bool:
+    """Opt-in dispatch (CASPR_TPU_FUSED_SA=1) of the fused SA kernel
+    (ops/sa_fused.py): one VMEM-resident pass for gather + rel-xyz +
+    convs + GroupNorm + ball max-pool.
+
+    Measured on v5e at the eval point it LOSES to the XLA composition
+    (pointnet2 387 -> 679 ms): the exactness-preserving HIGHEST-precision
+    one-hot gather repeated inside every scale outweighs what the fusion
+    saves in HBM round-trips.  Kept as an experiment — a bf16 hi/lo
+    split gather could flip the trade (see BENCHMARKS.md notes)."""
+    import os
+
+    from ..ops.pointops import _use_pallas
+    from ..ops.sa_fused import can_fuse_sa
+
+    if os.environ.get("CASPR_TPU_FUSED_SA", "0") != "1":
+        return False
+    if not cfg.use_xyz_feature or not _use_pallas():
+        return False
+    cs = sp["convs"][0]["weight"].shape[1]  # 3 rel-xyz + C feature channels
+    return can_fuse_sa(
+        sp, xyz.shape[1], cs, new_xyz.shape[1], k, NUM_GROUPS
+    )
+
+
 def pointnet2_apply(params, cfg: PointNet2Config, points):
     """points: (B, N, 3 + in_features) -> per-point features (B, N, num_classes).
 
@@ -196,6 +221,14 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
         scale_feats = []
         for (radius, k, dims), sp in zip(lvl.scales, lvl_params["scales"]):
             gidx = ball_query(xyz, new_xyz, radius, k)
+            if _use_fused_sa(cfg, sp, xyz, new_xyz, k):
+                from ..ops.sa_fused import fused_sa_scale
+
+                h3 = fused_sa_scale(
+                    sp, xyz, features, new_xyz, gidx, k, NUM_GROUPS
+                )
+                scale_feats.append(h3)
+                continue
             grouped = group_points(
                 xyz, new_xyz, features, gidx, cfg.use_xyz_feature
             )  # (B, M, K, C_in)

@@ -48,7 +48,7 @@ def main():
     print("xplane files:", paths)
     if not paths:
         return
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     space = xplane_pb2.XSpace()
     with open(max(paths, key=os.path.getmtime), "rb") as f:
