@@ -151,27 +151,23 @@ def _knn3_kernel(n, d2_ref, dist_ref, idx_ref):
 
 
 def _gather_kernel(n, src_ref, idx_ref, out_ref):
-    """One-hot-matmul row gather: out (tr, C) = onehot^T (tr, N) @ src (N, C)
-    via a contraction over the shared N axis.
+    """One-hot-matmul row gather: out (C, tr) = src^T (C, N) @ onehot (N, tr).
 
     XLA's TPU gather is effectively row-at-a-time and dominated encoder
     time (group_points + three_interpolate ~= 470 ms of a 545 ms
     pointnet2_apply at B'=160); as a dense contraction it rides the MXU.
-    The output is produced directly in the caller's (rows, C) layout — an
-    earlier (C, rows) variant made XLA insert ~45 ms of relayout copies
-    per encode.  Precision MUST be HIGHEST: the default one-pass-bf16
-    matmul would truncate the gathered values, while with one exact 1.0
-    per column the multi-pass f32 algorithm reproduces rows bit-exactly.
+    Precision MUST be HIGHEST: the default one-pass-bf16 matmul would
+    truncate the gathered values, while with one exact 1.0 per column the
+    multi-pass f32 algorithm reproduces rows bit-exactly.
     """
     src = src_ref[0]  # (N, C)
-    idx = idx_ref[0]  # (tr, 1) — row-index column, no in-kernel transpose
-    tr = idx.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tr, n), 1)
-    onehot = (iota == idx).astype(jnp.float32)  # (tr, N), standard matmul LHS
+    idx = idx_ref[0]  # (1, tr)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, idx.shape[-1]), 0)
+    onehot = (iota == idx).astype(jnp.float32)
     out_ref[0] = jax.lax.dot_general(
-        onehot,
         src,
-        (((1,), (0,)), ((), ())),
+        onehot,
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -184,7 +180,7 @@ def gather_rows_pallas(src, idx):
     b, n, c = src.shape
     r = idx.shape[1]
     r_pad = _round_up(r, _LANES)
-    idx3 = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, r_pad - r)))[:, :, None]
+    idx3 = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, r_pad - r)))[:, None, :]
     tr = min(256, r_pad)
     while r_pad % tr:
         tr //= 2
@@ -194,14 +190,14 @@ def gather_rows_pallas(src, idx):
         in_specs=[
             pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, tr), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tr, c), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, c, tr), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r_pad, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, r_pad), jnp.float32),
     )(src, idx3)
-    return out[:, :r]
+    return jnp.moveaxis(out[:, :, :r], 1, 2)
 
 
 def _pairwise_d2_padded(a, b, n_valid):
