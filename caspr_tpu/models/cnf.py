@@ -258,13 +258,34 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
         if _dynamics_kernel_mode(cfg) == "pallas":
             import os
 
+            import jax as _jax
+
             from ..ops.cnf_fused import fused_concatsquash_dynamics
 
-            mm_dtype = (
-                "bf16"
-                if os.environ.get("CASPR_TPU_CNF_MATMUL", "f32") == "bf16"
-                else "f32"
-            )
+            # explicit bf16 operand cast is bit-identical to JAX's default
+            # TPU matmul precision (one-pass bf16) and ~5% faster, so it is
+            # the default unless the user requested full-f32 matmuls via
+            # --matmul-precision (or forces f32 via the env var)
+            env = os.environ.get("CASPR_TPU_CNF_MATMUL", "auto")
+            global_prec = _jax.config.jax_default_matmul_precision
+            if env == "bf16":
+                mm_dtype = "bf16"
+            elif env == "f32":
+                mm_dtype = "f32"
+            else:
+                # bit-identity to the default precision only holds on TPU
+                # (MXU truncates f32 operands to bf16 anyway); CPU/GPU
+                # default matmuls are full f32, so keep f32 there
+                try:
+                    on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+                except RuntimeError:
+                    on_tpu = False
+                mm_dtype = (
+                    "bf16"
+                    if on_tpu
+                    and global_prec in (None, "bfloat16", "default", "fastest")
+                    else "f32"
+                )
             dx, div = fused_concatsquash_dynamics(
                 args["params"], tc, x, e, mm_dtype
             )
