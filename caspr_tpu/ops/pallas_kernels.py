@@ -91,9 +91,12 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
 
     Same semantics as the CUDA ball query behind kaolin's grouping
     (first-K within radius in index order, pad with first hit, 0 if the
-    ball is empty); implemented as K rounds of row-max extraction over a
-    VMEM-resident key matrix — O(K*M*N) VPU work with no HBM round-trips,
-    replacing lax.top_k which dominated encoder time.
+    ball is empty).  Each in-ball lane's 1-based rank comes from a
+    Hillis-Steele prefix sum over lanes (log2(N) roll+add steps); each of
+    the K output slots is then a 3-pass masked row-sum (the rank matches
+    at most one lane per row).  Replaced K rounds of 5-pass
+    max-extract-and-clear: 36.5 -> 23.0 ms at the SA1 K=32 shape,
+    identical outputs.
     """
     d2 = d2_ref[0]  # (Mb, N_pad)
     rows, n_pad = d2.shape
@@ -101,22 +104,26 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
 
-    key = jnp.where((d2 < r2) & (lane < n), n - lane, 0)  # first = largest
+    inball = (d2 < r2) & (lane < n)
+    rank = inball.astype(jnp.int32)
+    shift = 1
+    while shift < n_pad:  # inclusive prefix sum over the lane axis
+        rolled = pltpu.roll(rank, shift, 1)
+        rank = rank + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    total = rank[:, n_pad - 1:n_pad]  # (Mb, 1) in-ball count
+    first = jnp.min(jnp.where(inball, lane, n_pad), axis=1, keepdims=True)
+    first = jnp.where(first == jnp.int32(n_pad), 0, first).astype(jnp.int32)
 
-    def body(i, carry):
-        key, out, first = carry
-        rowmax = jnp.max(key, axis=1, keepdims=True)  # (Mb, 1)
-        hit = rowmax > 0
-        idx = jnp.where(hit, n - rowmax, first)  # pad-with-first (0 if none)
-        first = jnp.where(i == 0, idx, first)
-        out = jnp.where(out_lane == i, idx, out)
-        key = jnp.where(key == rowmax, 0, key)  # clear the extracted lane
-        return key, out, first
+    def body(i, out):
+        hit = inball & (rank == i + 1)
+        idx = jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True)
+        idx = jnp.where(total > i, idx, first)  # pad-with-first (0 if none)
+        return jnp.where(out_lane == i, idx, out)
 
-    out0 = jnp.zeros((rows, k_pad), jnp.int32)
-    first0 = jnp.zeros((rows, 1), jnp.int32)
-    _, out, _ = jax.lax.fori_loop(0, k, body, (key, out0, first0))
-    idx_ref[0] = out
+    idx_ref[0] = jax.lax.fori_loop(
+        0, k, body, jnp.zeros((rows, k_pad), jnp.int32)
+    )
 
 
 def _knn3_kernel(n, d2_ref, dist_ref, idx_ref):
