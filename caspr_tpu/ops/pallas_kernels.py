@@ -181,13 +181,14 @@ def _gather_kernel(n, src_ref, idx_ref, out_ref):
 
 
 @jax.jit
-def gather_rows_pallas(src, idx):
-    """Exact row gather. src: (B, N, C) f32, idx: (B, R) int32 in [0, N)
-    -> (B, R, C).  Matches jnp.take_along_axis semantics bit-for-bit."""
+def _gather_rows_call(src, idx):
     b, n, c = src.shape
     r = idx.shape[1]
     r_pad = _round_up(r, _LANES)
-    idx3 = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, r_pad - r)))[:, None, :]
+    # clamp like jnp.take_along_axis so out-of-range indices cannot
+    # silently produce all-zero rows from the one-hot comparison
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    idx3 = jnp.pad(idx, ((0, 0), (0, r_pad - r)))[:, None, :]
     tr = min(256, r_pad)
     while r_pad % tr:
         tr //= 2
@@ -205,6 +206,36 @@ def gather_rows_pallas(src, idx):
         out_shape=jax.ShapeDtypeStruct((b, c, r_pad), jnp.float32),
     )(src, idx3)
     return jnp.moveaxis(out[:, :, :r], 1, 2)
+
+
+@jax.custom_vjp
+def gather_rows_pallas(src, idx):
+    """Exact row gather. src: (B, N, C) f32, idx: (B, R) int32 -> (B, R, C).
+    Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
+    of out-of-range indices to [0, N).
+
+    Differentiable: the VJP scatter-adds cotangent rows back to their
+    source positions (the transpose of the one-hot contraction), so the
+    C<=32 Pallas dispatch in pointops.gather_points is safe for any
+    differentiated input."""
+    return _gather_rows_call(src, idx)
+
+
+def _gather_rows_fwd(src, idx):
+    return _gather_rows_call(src, idx), (idx, src.shape)
+
+
+def _gather_rows_bwd(res, ct):
+    idx, src_shape = res
+    n = src_shape[1]
+    cidx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    dsrc = jax.vmap(
+        lambda i, t: jnp.zeros(src_shape[1:], ct.dtype).at[i].add(t)
+    )(cidx, ct)
+    return dsrc, jnp.zeros_like(idx)
+
+
+gather_rows_pallas.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _pairwise_d2_padded(a, b, n_valid):

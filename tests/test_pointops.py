@@ -194,3 +194,22 @@ def test_emd_grad_finite(clouds):
     y = jnp.asarray(clouds + 0.05)
     g = jax.grad(lambda a: jnp.sum(approx_match_emd(a, y)))(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_three_interpolate_dense_matches_gather(clouds):
+    """The MXU interpolation-matrix path (split-precision bf16 passes)
+    must agree with the exact gather path to ~2^-18."""
+    from caspr_tpu.ops.pointops import _three_interpolate_dense
+
+    rs = np.random.RandomState(7)
+    feats = jnp.asarray(rs.randn(2, 16, 33).astype(np.float32) * 10.0)
+    idx = jnp.asarray(rs.randint(0, 16, size=(2, 40, 3)).astype(np.int32))
+    w = rs.rand(2, 40, 3).astype(np.float32)
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+    want = np.einsum(
+        "bnk,bnkc->bnc",
+        np.asarray(w),
+        np.asarray(feats)[np.arange(2)[:, None, None], np.asarray(idx)],
+    )
+    got = np.asarray(_three_interpolate_dense(feats, idx, w))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-4)
