@@ -161,7 +161,25 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
         yp = jnp.pad(yp, ((0, 0), (0, 0), (0, n_pad - n)))
         ep = jnp.pad(ep, ((0, 0), (0, 0), (0, n_pad - n)))
 
-    r = min(int(os.environ.get("CASPR_TPU_CNF_TILE", "1024")), n_pad)
+    # Validated tile override: non-integer / non-positive values fall back
+    # to the 1024 default with a warning; anything else is rounded down to
+    # a power of two in [128, 4096] so the halving loop below can never
+    # collapse to a 1-lane grid (128 always divides the lane-padded n_pad).
+    raw = os.environ.get("CASPR_TPU_CNF_TILE", "1024")
+    try:
+        req = int(raw)
+    except ValueError:
+        req = 0
+    if req <= 0:
+        import warnings
+
+        warnings.warn(
+            f"CASPR_TPU_CNF_TILE={raw!r} is not a positive integer; "
+            "using 1024"
+        )
+        req = 1024
+    req = 1 << max(7, min(12, req.bit_length() - 1))
+    r = min(req, n_pad)
     while n_pad % r:
         r //= 2
 
@@ -196,6 +214,230 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
     )(yp, ep, gb, w_first, w_hidden, w_last)
     dx = jnp.moveaxis(dx[:, :d, :n], 1, -1)  # (BT, N, 3)
     return dx, div[:, 0, :n]
+
+
+def _fused_bwd_kernel(num_hidden, r, matmul_dtype,
+                      y_ref, e_ref, gb_ref, ctx_ref, ctd_ref,
+                      w_first_ref, w_hidden_ref, w_last_ref,
+                      dy_ref, dgb_ref, dwf_ref, dwh_ref, dwl_ref):
+    """Augmented-dynamics backward: VJP of (dx, div) w.r.t. (y, gates,
+    effective biases, layer weights) in one VMEM pass.
+
+    The adjoint ODE (ops/odeint.py:374-384) evaluates this once per
+    backward NFE; the XLA composition it replaces re-materializes every
+    layer activation in HBM (the double-backward the reference pays at
+    caspr/models/odefunc.py:13-31).  Here the forward is recomputed in
+    VMEM saving only the pre-gate matmul outputs m_i, then the reverse
+    sweep runs transpose matmuls back-to-back.  The divergence cotangent
+    flows through the tangent chain (the Hessian-vector term: the
+    d softplus = sigmoid factors depend on the primal pre-activations).
+
+    ctx: (1, 8, R) cotangent planes for dx; ctd: (1, 1, R) cotangent for
+    div.  Weight/context grads accumulate across grid steps: dgb per bt
+    over point tiles, dw* over the whole grid (their out blocks stay
+    VMEM-resident because their index maps are constant).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    yp = y_ref[0]
+    ep = e_ref[0]
+    num_layers = num_hidden + 2
+    h = w_first_ref.shape[0]
+
+    gbt = jnp.transpose(gb_ref[0])  # (H, 8)
+    gate_col = lambda li: gbt[:, li:li + 1]
+    beff_col = lambda li: gbt[:, num_layers + li:num_layers + li + 1]
+
+    def mm(a, b, dims):
+        if matmul_dtype == "bf16":
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32
+        )
+
+    ws = (
+        [w_first_ref[:]]
+        + [w_hidden_ref[li] for li in range(num_hidden)]
+        + [w_last_ref[:]]
+    )
+
+    def g_be(li):
+        last = li == num_layers - 1
+        g = gate_col(li)[0:8] if last else gate_col(li)
+        be = beff_col(li)[0:8] if last else beff_col(li)
+        return g, be
+
+    # forward recompute, saving only the pre-gate matmul outputs
+    z0 = jnp.concatenate([yp, ep], axis=1)  # (8, 2R)
+    ms = []
+    z = z0
+    for li in range(num_layers):
+        m = mm(ws[li], z, ((1,), (0,)))
+        ms.append(m)
+        if li == num_layers - 1:
+            break
+        g, be = g_be(li)
+        mg = m * g
+        zp = mg[:, :r] + be
+        zt = mg[:, r:]
+        zt = zt * jax.nn.sigmoid(zp)
+        zp = jax.nn.softplus(zp)
+        z = jnp.concatenate([zp, zt], axis=1)
+
+    def layer_in(li):
+        """Recompute layer li's input from m_{li-1} (always non-last)."""
+        if li == 0:
+            return z0
+        g, be = g_be(li - 1)
+        mg = ms[li - 1] * g
+        zp = mg[:, :r] + be
+        zt = mg[:, r:]
+        zt = zt * jax.nn.sigmoid(zp)
+        zp = jax.nn.softplus(zp)
+        return jnp.concatenate([zp, zt], axis=1)
+
+    cp = ctx_ref[0]            # (8, R) cotangent on primal output
+    ct = ep * ctd_ref[0]       # (8, R) cotangent on tangent output
+    dg_cols = [None] * num_layers
+    dbe_cols = [None] * num_layers
+    dws = [None] * num_layers
+    for li in range(num_layers - 1, -1, -1):
+        last = li == num_layers - 1
+        g, be = g_be(li)
+        m = ms[li]
+        if last:
+            dppre = cp
+            dtpre = ct
+        else:
+            mg = m * g
+            p_pre = mg[:, :r] + be
+            t_pre = mg[:, r:]
+            s = jax.nn.sigmoid(p_pre)
+            dppre = cp * s + ct * t_pre * s * (1.0 - s)
+            dtpre = ct * s
+        dbe = jnp.sum(dppre, axis=1, keepdims=True)  # (d, 1)
+        dg = jnp.sum(
+            dppre * m[:, :r] + dtpre * m[:, r:], axis=1, keepdims=True
+        )
+        if last:  # place the 8-row vectors in full-H columns
+            dbe = jnp.concatenate(
+                [dbe, jnp.zeros((h - 8, 1), jnp.float32)], axis=0
+            )
+            dg = jnp.concatenate(
+                [dg, jnp.zeros((h - 8, 1), jnp.float32)], axis=0
+            )
+        dbe_cols[li] = dbe
+        dg_cols[li] = dg
+        dm = jnp.concatenate([dppre, dtpre], axis=1) * g  # (d, 2R)
+        dws[li] = mm(dm, layer_in(li), ((1,), (1,)))      # (d_out, d_in)
+        dz = mm(ws[li], dm, ((0,), (0,)))                 # (d_in, 2R)
+        cp = dz[:, :r]
+        ct = dz[:, r:]
+
+    dy_ref[0] = cp  # (8, R): d/dy planes (tangent half = d/de, discarded)
+
+    pad_cols = 8 - 2 * num_layers
+    cols = dg_cols + dbe_cols
+    if pad_cols > 0:
+        cols.append(jnp.zeros((h, pad_cols), jnp.float32))
+    dgb_t = jnp.transpose(jnp.concatenate(cols, axis=1))  # (8, H)
+    dwh = (
+        jnp.stack(dws[1:-1], axis=0)
+        if num_hidden
+        else jnp.zeros((0, h, h), jnp.float32)
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dgb_ref[0] = dgb_t
+
+    @pl.when(j > 0)
+    def _():
+        dgb_ref[0] += dgb_t
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dwf_ref[:] = dws[0]
+        dwh_ref[:] = dwh
+        dwl_ref[:] = dws[-1]
+
+    @pl.when(~first)
+    def _():
+        dwf_ref[:] += dws[0]
+        dwh_ref[:] += dwh
+        dwl_ref[:] += dws[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("matmul_dtype",))
+def _fused_bwd_call(w_first, w_hidden, w_last, gb, y, e, ct_dx, ct_div, *,
+                    matmul_dtype="f32"):
+    """Backward-kernel driver.  y, e, ct_dx: (BT, N, 3); ct_div: (BT, N).
+    Returns (dy (BT, N, 3), dgb (BT, 8, H), dwf, dwh, dwl)."""
+    bt, n, d = y.shape
+    h = w_first.shape[0]
+    num_hidden = w_hidden.shape[0]
+    n_pad = _round_up(n, _LANES)
+
+    def padded(p):
+        return jnp.pad(p, ((0, 0), (0, 0), (0, n_pad - n))) if n_pad != n else p
+
+    yp = padded(_planes(y))
+    ep = padded(_planes(e))
+    ctx = padded(_planes(ct_dx))
+    ctd = padded(ct_div[:, None, :])
+
+    # smaller tile than the forward: the backward keeps the per-layer
+    # pre-gate outputs plus the weight-grad accumulators VMEM-resident
+    r = min(256, n_pad)
+    while n_pad % r:
+        r //= 2
+
+    kernel = functools.partial(_fused_bwd_kernel, num_hidden, r, matmul_dtype)
+    plane_spec = pl.BlockSpec(
+        (1, 8, r), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dy, dgb, dwf, dwh, dwl = pl.pallas_call(
+        kernel,
+        grid=(bt, n_pad // r),
+        in_specs=[
+            plane_spec,
+            plane_spec,
+            pl.BlockSpec((1, 8, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plane_spec,
+            pl.BlockSpec((1, 1, r), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_hidden, h, h), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            plane_spec,
+            pl.BlockSpec((1, 8, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_hidden, h, h), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bt, 8, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_hidden, h, h), jnp.float32),
+            jax.ShapeDtypeStruct((8, h), jnp.float32),
+        ],
+    )(yp, ep, gb, ctx, ctd, w_first, w_hidden, w_last)
+    dy = jnp.moveaxis(dy[:, :d, :n], 1, -1)
+    return dy, dgb, dwf, dwh, dwl
 
 
 def _reference_dynamics(params, tc, y, e):
@@ -255,12 +497,43 @@ def _fused_fwd(params, tc, y, e, matmul_dtype):
     return out, (params, tc, y, e)
 
 
+def _bwd_mode() -> str:
+    """Backward-pass implementation: the fused augmented-dynamics kernel
+    (default on TPU) or the XLA composition's vjp.
+    CASPR_TPU_CNF_BWD=pallas|xla overrides."""
+    mode = os.environ.get("CASPR_TPU_CNF_BWD", "auto")
+    if mode in ("pallas", "xla"):
+        return mode
+    try:
+        return "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
+    except RuntimeError:
+        return "xla"
+
+
 def _fused_bwd(matmul_dtype, res, cts):
     params, tc, y, e = res
-    _, vjp = jax.vjp(
-        lambda p, c, yy: _reference_dynamics(p, c, yy, e), params, tc, y
+    if _bwd_mode() == "xla":
+        _, vjp = jax.vjp(
+            lambda p, c, yy: _reference_dynamics(p, c, yy, e), params, tc, y
+        )
+        dp, dtc, dy = vjp(cts)
+        return dp, dtc, dy, jnp.zeros_like(e)
+
+    ct_dx, ct_div = cts
+    gb = _context_gb(params, tc)
+    w_first, w_hidden, w_last = _pack_weights(params)
+    dy, dgb, dwf, dwh, dwl = _fused_bwd_call(
+        w_first, w_hidden, w_last, gb, y, e, ct_dx, ct_div,
+        matmul_dtype=matmul_dtype,
     )
-    dp, dtc, dy = vjp(cts)
+
+    # chain the packed-gradient outputs back to the parameter pytree and
+    # the [t, context] vector through the (tiny) packing/projection graph
+    def packfn(p, c):
+        return (_context_gb(p, c),) + _pack_weights(p)
+
+    _, pvjp = jax.vjp(packfn, params, tc)
+    dp, dtc = pvjp((dgb, dwf, dwh, dwl))
     return dp, dtc, dy, jnp.zeros_like(e)
 
 

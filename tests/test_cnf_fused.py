@@ -158,3 +158,47 @@ def test_cnf_block_end_to_end_fused_vs_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(lp_p), np.asarray(lp_x),
                                rtol=1e-4, atol=1e-3)
     assert abs(float(nfe_p) - float(nfe_x)) <= 6.0
+
+
+def test_fused_backward_kernel_matches_xla(monkeypatch):
+    """The fused augmented-dynamics backward kernel (CASPR_TPU_CNF_BWD=
+    pallas) must reproduce the XLA composition's vjp for params, context
+    and y — including the divergence's Hessian-vector term."""
+    params, tc, y, e = _setup(key=6, bt=2, n=200)
+
+    def loss(p, c, yy):
+        dx, div = fused_concatsquash_dynamics(p, c, yy, e)
+        return jnp.sum(dx**2) + jnp.sum(jnp.sin(div))
+
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "pallas")
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "xla")
+    with pltpu.force_tpu_interpret_mode():
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
+
+
+def test_fused_backward_kernel_two_dims(monkeypatch):
+    cfg = CNFConfig(input_dim=3, dims=(128, 128), zdim=8)
+    params, tc, y, e = _setup(key=7, bt=3, n=128, cfg=cfg)
+
+    def loss(p, c, yy):
+        dx, div = fused_concatsquash_dynamics(p, c, yy, e)
+        return jnp.sum(dx * dx) + jnp.sum(div)
+
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "pallas")
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "xla")
+    with pltpu.force_tpu_interpret_mode():
+        g_xla = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
