@@ -116,23 +116,39 @@ class CaSPRModel:
     # --------------------------- latent solve ----------------------------
 
     def aggregate_and_solve_latent(
-        self, params, z0, times, *, adjoint, nfe_sink=None
+        self, params, z0, times, *, adjoint, nfe_sink=None,
+        shared_times: bool = False,
     ):
         """z0: (B, H), times: (B, T) -> (feats (B, T, H), nfe).
 
         Static-shape replacement for the reference's torch.unique batching
         (caspr.py:157-183): solve at the sorted flattened times, then gather
         each (b, t) slot back via the inverse permutation.
+
+        ``shared_times=True`` asserts every row of ``times`` is identical
+        (callers that broadcast an explicit timestamp vector, i.e. the eval
+        protocols) and solves at the T shared request times instead of the
+        flattened B*T vector — the static-shape analogue of the reference's
+        torch.unique dedup (caspr.py:166).  Bit-identical to the general
+        path for equal rows (same initial state, same step control, same
+        dense-output fill; duplicated request times interpolate to the same
+        values), but ~10x cheaper in the solver's request-fill work.
         """
         b, t = times.shape
         motion = self.cfg.motion_feat_size
         z_dyn = z0[:, :motion]
         z_stat = z0[:, motion:]
 
-        flat = times.reshape(-1)
-        order = jnp.argsort(flat)
-        sorted_t = flat[order]
-        ranks = jnp.argsort(order).reshape(b, t)
+        if shared_times:
+            sorted_t = jnp.sort(times[0])
+            ranks = jnp.broadcast_to(
+                jnp.argsort(jnp.argsort(times[0]))[None, :], (b, t)
+            )
+        else:
+            flat = times.reshape(-1)
+            order = jnp.argsort(flat)
+            sorted_t = flat[order]
+            ranks = jnp.argsort(order).reshape(b, t)
 
         pred_z, nfe = latent_ode_solve(
             params["latent_ode"],
@@ -141,7 +157,7 @@ class CaSPRModel:
             sorted_t,
             adjoint=adjoint,
             nfe_sink=nfe_sink,
-        )  # (B, B*T, motion)
+        )  # (B, T or B*T, motion)
         feats = jnp.take_along_axis(pred_z, ranks[..., None], axis=1)  # (B,T,m)
         z_rep = jnp.broadcast_to(z_stat[:, None, :], (b, t, z_stat.shape[-1]))
         return jnp.concatenate([feats, z_rep], axis=-1), nfe
@@ -306,7 +322,8 @@ class CaSPRModel:
                 timestamps.reshape(1, -1), (b, timestamps.shape[-1])
             )
         z, ode_nfe = self.aggregate_and_solve_latent(
-            params, z0, all_times, adjoint=False
+            params, z0, all_times, adjoint=False,
+            shared_times=timestamps is not None,
         )
         y, logp_y, x_rec, cnf_nfe = self.decode(
             params,

@@ -346,3 +346,27 @@ def test_latent_ode_augment_size():
     assert zs.shape == (2, 2, 10)
     np.testing.assert_allclose(np.asarray(zs[:, 0, :6]), np.asarray(z0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(zs[:, 0, 6:]), 0.0, atol=1e-6)
+
+
+def test_shared_times_solve_matches_general_path():
+    """aggregate_and_solve_latent(shared_times=True) must reproduce the
+    flattened-B*T path exactly when every batch row carries the same
+    timestamps (the eval-protocol case: reference caspr.py:166 dedups with
+    torch.unique; ours solves at the T shared request times)."""
+    cfg = tiny_caspr_cfg()
+    params, _ = caspr_init(KEY, cfg)
+    model = CaSPRModel(cfg)
+    b, t = 3, 5
+    z0 = jax.random.normal(jax.random.PRNGKey(11), (b, cfg.latent_feat_size))
+    row = jnp.array([0.0, 0.7, 0.2, 1.0, 0.4])  # unsorted on purpose
+    times = jnp.broadcast_to(row, (b, t))
+
+    feats_gen, _ = model.aggregate_and_solve_latent(
+        params, z0, times, adjoint=False
+    )
+    feats_shared, _ = model.aggregate_and_solve_latent(
+        params, z0, times, adjoint=False, shared_times=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_shared), np.asarray(feats_gen), rtol=1e-6, atol=1e-6
+    )
