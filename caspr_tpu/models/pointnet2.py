@@ -178,29 +178,43 @@ def pointnet2_init(key, cfg: PointNet2Config):
     return params
 
 
-def _use_fused_sa(cfg, sp, xyz, new_xyz, k) -> bool:
-    """Opt-in dispatch (CASPR_TPU_FUSED_SA=1) of the fused SA kernel
-    (ops/sa_fused.py): one VMEM-resident pass for gather + rel-xyz +
-    convs + GroupNorm + ball max-pool.
+def _sa_impl(cfg, sp, xyz, new_xyz, k) -> str:
+    """Pick the SA-scale implementation:
+    'factored' | 'fused2' | 'fused' | 'xla'.
 
-    Measured on v5e at the eval point it LOSES to the XLA composition
-    (pointnet2 387 -> 679 ms): the exactness-preserving HIGHEST-precision
-    one-hot gather repeated inside every scale outweighs what the fusion
-    saves in HBM round-trips.  Kept as an experiment — a bf16 hi/lo
-    split gather could flip the trade (see BENCHMARKS.md notes)."""
+    Default (CASPR_TPU_SA=auto): the pure-XLA factored-conv1 scale
+    (ops/sa_fused2.sa_scale_factored) on TPU — it narrows the grouped
+    gather to d1 channels and moves conv1 to the N source points, and
+    measured ~2.5x closer to the full-f32 ground truth than the plain
+    composition.  'fused2' (the v2 Pallas kernel: same math plus in-VMEM
+    convs/GN/max) and 'fused' (the v1 kernel) are opt-in experiments —
+    both are documented negative results at eval density (BENCHMARKS.md);
+    'xla' is the plain unfactored composition."""
     import os
 
     from ..ops.pointops import _use_pallas
-    from ..ops.sa_fused import can_fuse_sa
 
-    if os.environ.get("CASPR_TPU_FUSED_SA", "0") != "1":
-        return False
     if not cfg.use_xyz_feature or not _use_pallas():
-        return False
-    cs = sp["convs"][0]["weight"].shape[1]  # 3 rel-xyz + C feature channels
-    return can_fuse_sa(
-        sp, xyz.shape[1], cs, new_xyz.shape[1], k, NUM_GROUPS
-    )
+        return "xla"
+    mode = os.environ.get("CASPR_TPU_SA", "auto")
+    if os.environ.get("CASPR_TPU_FUSED_SA", "0") == "1":
+        mode = "fused"
+    if mode == "fused":
+        from ..ops.sa_fused import can_fuse_sa
+
+        cs = sp["convs"][0]["weight"].shape[1]  # 3 rel-xyz + C channels
+        if can_fuse_sa(sp, xyz.shape[1], cs, new_xyz.shape[1], k, NUM_GROUPS):
+            return "fused"
+        return "xla"
+    if mode == "fused2":
+        from ..ops.sa_fused2 import can_fuse_sa2
+
+        if can_fuse_sa2(sp, xyz.shape[1], new_xyz.shape[1], k, NUM_GROUPS):
+            return "fused2"
+        return "xla"
+    if mode in ("auto", "factored") and len(sp["convs"]) == 3:
+        return "factored"
+    return "xla"
 
 
 def pointnet2_apply(params, cfg: PointNet2Config, points):
@@ -221,7 +235,24 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
         scale_feats = []
         for (radius, k, dims), sp in zip(lvl.scales, lvl_params["scales"]):
             gidx = ball_query(xyz, new_xyz, radius, k)
-            if _use_fused_sa(cfg, sp, xyz, new_xyz, k):
+            impl = _sa_impl(cfg, sp, xyz, new_xyz, k)
+            if impl == "factored":
+                from ..ops.sa_fused2 import sa_scale_factored
+
+                scale_feats.append(
+                    sa_scale_factored(sp, xyz, features, new_xyz, gidx,
+                                      NUM_GROUPS)
+                )
+                continue
+            if impl == "fused2":
+                from ..ops.sa_fused2 import fused_sa_scale2
+
+                scale_feats.append(
+                    fused_sa_scale2(sp, xyz, features, new_xyz, gidx, k,
+                                    NUM_GROUPS)
+                )
+                continue
+            if impl == "fused":
                 from ..ops.sa_fused import fused_sa_scale
 
                 h3 = fused_sa_scale(
