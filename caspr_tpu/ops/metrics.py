@@ -110,6 +110,15 @@ def approx_match_emd(xyz1, xyz2):
 
 
 def _emd_fwd_impl(xyz1, xyz2):
+    from .pointops import _use_pallas
+
+    n, m = xyz1.shape[1], xyz2.shape[1]
+    if _use_pallas() and xyz1.dtype == jnp.float32:
+        from .emd_pallas import approx_match_emd_pallas, can_emd_pallas
+
+        if can_emd_pallas(n, m):
+            return approx_match_emd_pallas(xyz1, xyz2)
+
     def one(args):
         a, b = args
         return _match_cost(a, b, _approx_match(a, b))
