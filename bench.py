@@ -66,6 +66,49 @@ def reference_v100_bound(nfe_cnf: float) -> float:
     return v100_fp32_peak / flops_per_seq
 
 
+def model_flops_per_seq(nfe_cnf: float, nfe_ode: float) -> float:
+    """Useful model FLOPs per 10x2048 sequence (matmul work only, the
+    MFU convention): encoder + latent-ODE solve + CNF decode at the
+    measured NFE.  Gather/one-hot helper matmuls are overhead, not model
+    math, and are excluded — so the reported MFU is conservative."""
+    from caspr_tpu.models.pointnet2 import PointNet2Config
+
+    tn = T * N
+    # PointNet global feature (4 -> 64 -> 128 -> 1024) over all T*N points
+    flops = 2 * tn * (4 * 64 + 64 * 128 + 128 * 1024)
+    # PointNet++ backbone, per frame.  conv1 of each SA scale is factored
+    # through the gather (ops/sa_fused2.py) and runs over the N source
+    # points; conv2/3 run over the M*K grouped rows.
+    p2 = PointNet2Config()
+    n_pts = N
+    cin = p2.in_features + 3
+    for lvl in p2.sa_levels():
+        m = min(lvl.num_points_out, n_pts)
+        for _, k, dims in lvl.scales:
+            d1, d2, d3 = dims
+            flops += 2 * T * (n_pts * cin * d1 + m * k * (d1 * d2 + d2 * d3))
+        cin = sum(s[2][-1] for s in lvl.scales) + 3
+        n_pts = m
+    sizes = [N] + [min(p, N) for p in p2.sa_points]
+    for fi, (fp_in, fp_dims) in enumerate(p2.fp_dims()):
+        rows = sizes[len(sizes) - 2 - fi]
+        flops += 2 * T * rows * (fp_in * fp_dims[0] + fp_dims[0] * fp_dims[1])
+    flops += 2 * T * N * (512 * 512 + 512 * 512)  # final head
+    # TPointNet2 fusion convs: 1600 -> 1600 -> 1600 over T*N points
+    flops += 2 * tn * (1600 * 1600 + 1600 * 1600) + 2 * tn * 1600 * 4
+    # latent ODE: 64 -> 512 -> 512 -> 512 -> 64 MLP per NFE
+    flops += (
+        2 * (64 * 512 + 512 * 512 + 512 * 512 + 512 * 64) * max(nfe_ode, 1.0)
+    )
+    # CNF decode: concatsquash stack, primal + Hutchinson tangent per NFE
+    dims = [(3, 512), (512, 512), (512, 512), (512, 3)]
+    flops += 2 * 2 * tn * sum(a * b for a, b in dims) * max(nfe_cnf, 1.0)
+    return flops
+
+
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
+
+
 def main():
     from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
 
@@ -103,6 +146,7 @@ def main():
     # warmup / compile
     pred, nfe = recon(params, state, x, key)
     sync(pred)
+    nfe_ode = float(nfe[0])
     nfe_cnf = float(nfe[1])
 
     iters = 5
@@ -116,18 +160,66 @@ def main():
     metric = "reconstruct_throughput_10x2048"
     if not trained:
         metric += "_random_init"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(seqs_per_sec, 4),
-                "unit": "seqs/sec/chip",
-                "vs_baseline": round(
-                    seqs_per_sec / reference_v100_bound(nfe_cnf), 4
-                ),
-            }
-        )
+    flops_per_sec = seqs_per_sec * model_flops_per_seq(nfe_cnf, nfe_ode)
+    record = {
+        "metric": metric,
+        "value": round(seqs_per_sec, 4),
+        "unit": "seqs/sec/chip",
+        "vs_baseline": round(
+            seqs_per_sec / reference_v100_bound(nfe_cnf), 4
+        ),
+        "model_flops_per_sec": round(flops_per_sec / 1e12, 3),
+        "model_flops_unit": "TFLOP/s",
+        "mfu_bf16": round(flops_per_sec / V5E_BF16_PEAK, 4),
+        "nfe_cnf": round(nfe_cnf, 1),
+    }
+    if os.environ.get("CASPR_BENCH_TRAIN", "0") == "1":
+        record["train_step_ms"] = round(measure_train_step(), 1)
+    print(json.dumps(record))
+
+
+def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
+    """Full train step (fwd + continuous-adjoint bwd + Adam) at the
+    reference full-pipeline recipe shapes (reference README.md:127-136).
+    Opt-in via CASPR_BENCH_TRAIN=1 — the extra jit is a 10-25 min cold
+    compile on this 1-core host, too slow for the default driver run;
+    measured numbers live in BENCHMARKS.md."""
+    import numpy as np
+
+    from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
+    from caspr_tpu.train.loop import make_optimizer, make_train_step
+
+    cfg = CaSPRConfig()
+    model = CaSPRModel(cfg)
+    key = jax.random.PRNGKey(0)
+    params, state = caspr_init(key, cfg)
+    tx = make_optimizer(1e-4)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, 0.01, 100.0)
+
+    def batch(i):
+        kx, kt = jax.random.split(jax.random.fold_in(key, i))
+        x = jax.random.uniform(kx, (b, t, n, 4))
+        times = jnp.sort(jax.random.uniform(kt, (b, t)), axis=1)
+        times = times - times[:, :1]
+        x = x.at[..., 3].set(times[:, :, None] * 5.0)
+        tgt = jax.random.uniform(kt, (b, t, n, 4))
+        tgt = tgt.at[..., 3].set(times[:, :, None])
+        return x, tgt
+
+    x, tgt = batch(0)
+    params, opt_state, state, metrics = step(
+        params, opt_state, state, x, tgt, key
     )
+    np.asarray(metrics["loss"])
+    start = time.perf_counter()
+    for i in range(1, iters + 1):
+        x, tgt = batch(i)
+        params, opt_state, state, metrics = step(
+            params, opt_state, state, x, tgt, jax.random.fold_in(key, 100 + i)
+        )
+    np.asarray(metrics["loss"])
+    return (time.perf_counter() - start) / iters * 1e3
 
 
 if __name__ == "__main__":
