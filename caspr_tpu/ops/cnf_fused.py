@@ -391,7 +391,16 @@ def _fused_bwd_call(w_first, w_hidden, w_last, gb, y, e, ct_dx, ct_div, *,
 
     # smaller tile than the forward: the backward keeps the per-layer
     # pre-gate outputs plus the weight-grad accumulators VMEM-resident
-    r = min(256, n_pad)
+    # (CASPR_TPU_CNF_BWD_TILE overrides, same validation as the forward)
+    raw = os.environ.get("CASPR_TPU_CNF_BWD_TILE", "256")
+    try:
+        req = int(raw)
+    except ValueError:
+        req = 256
+    if req <= 0:
+        req = 256
+    req = 1 << max(7, min(12, req.bit_length() - 1))
+    r = min(req, n_pad)
     while n_pad % r:
         r //= 2
 
@@ -498,16 +507,21 @@ def _fused_fwd(params, tc, y, e, matmul_dtype):
 
 
 def _bwd_mode() -> str:
-    """Backward-pass implementation: the fused augmented-dynamics kernel
-    (default on TPU) or the XLA composition's vjp.
-    CASPR_TPU_CNF_BWD=pallas|xla overrides."""
+    """Backward-pass implementation: the XLA composition's vjp (default)
+    or the fused augmented-dynamics kernel (CASPR_TPU_CNF_BWD=pallas).
+
+    The kernel is a measured NEGATIVE result at the reference train
+    recipe (BT=25, N=1024 on v5e): 14.4 ms vs the XLA vjp's 11.9 ms per
+    adjoint call, 366.5 vs 266.0 ms on the full train step.  The VMEM
+    budget caps its point tile at 256 lanes (512+ tiles exceed the 16 MB
+    scoped limit carrying the per-layer recompute state plus the
+    weight-grad accumulators), so each of the ~100 grid steps runs
+    MXU-starved matmuls while the XLA composition batches all BT*N rows.
+    Kept opt-in for A/B at other shapes."""
     mode = os.environ.get("CASPR_TPU_CNF_BWD", "auto")
     if mode in ("pallas", "xla"):
         return mode
-    try:
-        return "xla" if jax.default_backend() in ("cpu", "gpu") else "pallas"
-    except RuntimeError:
-        return "xla"
+    return "xla"
 
 
 def _fused_bwd(matmul_dtype, res, cts):

@@ -17,6 +17,7 @@ dispatch interchangeably.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -92,10 +93,13 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
     Same semantics as the CUDA ball query behind kaolin's grouping
     (first-K within radius in index order, pad with first hit, 0 if the
     ball is empty).  Each in-ball lane's 1-based rank comes from a
-    Hillis-Steele prefix sum over lanes (log2(N) roll+add steps); each of
-    the K output slots is then a 3-pass masked row-sum (the rank matches
-    at most one lane per row).  Replaced K rounds of 5-pass
-    max-extract-and-clear: 36.5 -> 23.0 ms at the SA1 K=32 shape,
+    Hillis-Steele prefix sum over lanes (log2(N) roll+add steps); the K
+    output slots are then extracted TWO per masked row-sum — the even
+    slot's lane index and the odd slot's lane index occupy disjoint bit
+    ranges of one int32 sum (lane < base, so lane_even + base*lane_odd
+    decodes exactly; a rank matches at most one lane per row).  Replaced
+    one row-sum per slot (r2), itself a replacement for K rounds of
+    5-pass max-extract-and-clear (r1, 36.5 -> 23.0 ms at SA1 K=32);
     identical outputs.
     """
     d2 = d2_ref[0]  # (Mb, N_pad)
@@ -115,14 +119,32 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
     first = jnp.min(jnp.where(inball, lane, n_pad), axis=1, keepdims=True)
     first = jnp.where(first == jnp.int32(n_pad), 0, first).astype(jnp.int32)
 
+    base = 1
+    shift_bits = 0
+    while base < n_pad:  # pow2 packing base >= any lane value + 1
+        base *= 2
+        shift_bits += 1
+    rank0 = rank - 1  # 0-based rank (valid where inball)
+    # lane scaled by base**parity(rank0); zero elsewhere so stray rank
+    # collisions on out-of-ball lanes contribute nothing
+    packed = jnp.where(
+        inball, lane * (1 + jnp.bitwise_and(rank0, 1) * (base - 1)), 0
+    )
+    half = jnp.right_shift(rank0, 1)
+
     def body(i, out):
-        hit = inball & (rank == i + 1)
-        idx = jnp.sum(jnp.where(hit, lane, 0), axis=1, keepdims=True)
-        idx = jnp.where(total > i, idx, first)  # pad-with-first (0 if none)
-        return jnp.where(out_lane == i, idx, out)
+        s = jnp.sum(
+            jnp.where(inball & (half == i), packed, 0), axis=1, keepdims=True
+        )
+        lo = jnp.bitwise_and(s, base - 1)  # base is a power of two
+        hi = jnp.right_shift(s, shift_bits)
+        lo = jnp.where(total > 2 * i, lo, first)  # pad-with-first (0 if none)
+        hi = jnp.where(total > 2 * i + 1, hi, first)
+        out = jnp.where(out_lane == 2 * i, lo, out)
+        return jnp.where(out_lane == 2 * i + 1, hi, out)
 
     idx_ref[0] = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((rows, k_pad), jnp.int32)
+        0, (k + 1) // 2, body, jnp.zeros((rows, k_pad), jnp.int32)
     )
 
 
@@ -208,21 +230,90 @@ def _gather_rows_call(src, idx):
     return jnp.moveaxis(out[:, :, :r], 1, 2)
 
 
+def _gather_split_kernel(n, c, tile, tpack_ref, idx_ref, out_ref):
+    """Exact one-bf16-pass row gather of a 3-way-split packed table.
+
+    tpack: (1, N, 3C) bf16 — [hi|mid|lo] with hi+mid+lo == src exactly
+    (8+9+7 mantissa bits cover f32's 24); idx: (1, tile, 1) int32 in
+    [0, N); out: (1, tile, C) f32, rows-major (no moveaxis afterwards).
+
+    The one-hot contraction is exact in ONE default-precision bf16 MXU
+    pass: each product is 1.0 * component with f32 accumulation.  The
+    [I;I;I] fold matmul is exact too — the gathered components are
+    bf16-representable and their f32 sum reconstructs the mantissa.
+    Replaces the 6-pass HIGHEST-precision orientation of _gather_kernel,
+    whose (C, rows) output additionally paid a relayout copy at every
+    call site (measured ~115 ms/iter of the 350 ms pointnet2 backbone
+    at B'=160)."""
+    idx = idx_ref[0]  # (tile, 1)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    onehot = (iota_n == idx).astype(jnp.bfloat16)
+    gp = jax.lax.dot_general(
+        onehot, tpack_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (tile, 3C), comps bf16-exact
+    f0 = jax.lax.broadcasted_iota(jnp.int32, (3 * c, c), 0)
+    f1 = jax.lax.broadcasted_iota(jnp.int32, (3 * c, c), 1)
+    fold = (f0 % c == f1).astype(jnp.bfloat16)
+    out_ref[0] = jax.lax.dot_general(
+        gp.astype(jnp.bfloat16), fold, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def _gather_rows_split_call(src, idx):
+    b, n, c = src.shape
+    r = idx.shape[1]
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    hi = src.astype(jnp.bfloat16)
+    r1 = src - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    tpack = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, N, 3C)
+    r_pad = _round_up(r, _LANES)
+    if r_pad != r:
+        idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
+    tile = min(1024, r_pad)
+    while r_pad % tile:
+        tile //= 2
+    kernel = functools.partial(_gather_split_kernel, n, c, tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, r_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, n, 3 * c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_pad, c), jnp.float32),
+    )(tpack, idx.reshape(b, r_pad, 1))
+    return out[:, :r]
+
+
 @jax.custom_vjp
 def gather_rows_pallas(src, idx):
     """Exact row gather. src: (B, N, C) f32, idx: (B, R) int32 -> (B, R, C).
     Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
     of out-of-range indices to [0, N).
 
+    Two kernel orientations (CASPR_TPU_GATHER=split|onehot selects; auto
+    = split): the split-table rows-major kernel (_gather_split_kernel,
+    one bf16 MXU pass + exact fold) and the original (C, rows)
+    HIGHEST-precision contraction (_gather_kernel) kept for A/B.
+
     Differentiable: the VJP scatter-adds cotangent rows back to their
     source positions (the transpose of the one-hot contraction), so the
     C<=32 Pallas dispatch in pointops.gather_points is safe for any
     differentiated input."""
-    return _gather_rows_call(src, idx)
+    if os.environ.get("CASPR_TPU_GATHER", "split") == "onehot":
+        return _gather_rows_call(src, idx)
+    return _gather_rows_split_call(src, idx)
 
 
 def _gather_rows_fwd(src, idx):
-    return _gather_rows_call(src, idx), (idx, src.shape)
+    return gather_rows_pallas(src, idx), (idx, src.shape)
 
 
 def _gather_rows_bwd(res, ct):

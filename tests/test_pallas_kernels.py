@@ -44,6 +44,19 @@ def test_ball_query_pallas_matches_xla_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+def test_ball_query_pallas_odd_k_interpret():
+    """Odd K exercises the tail of the two-slots-per-row-sum decode (the
+    final iteration's hi slot lands in a padding column)."""
+    rng = np.random.RandomState(7)
+    xyz = jnp.asarray(rng.randn(2, 150, 3).astype(np.float32) * 0.3)
+    cent = xyz[:, :32]
+    for k in (3, 5, 7):
+        want = np.asarray(ball_query(xyz, cent, 0.35, k))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ball_query_pallas(xyz, cent, 0.35, k))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_ball_query_pallas_empty_ball_interpret():
     xyz = jnp.ones((1, 40, 3), jnp.float32)
     cent = jnp.zeros((1, 8, 3), jnp.float32)
@@ -83,6 +96,47 @@ def test_gather_rows_pallas_exact_interpret():
         jnp.take_along_axis(src, idx[:, :, None], axis=1)
     )
     np.testing.assert_array_equal(got, want)  # bit-exact row copies
+
+
+def test_gather_rows_split_matches_onehot_interpret(monkeypatch):
+    """Both kernel orientations (split one-bf16-pass / HIGHEST one-hot)
+    must produce bit-exact row copies, including out-of-range clamping."""
+    from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
+
+    rng = np.random.RandomState(11)
+    src = jnp.asarray(rng.randn(2, 160, 13).astype(np.float32))
+    idx_np = rng.randint(-5, 170, size=(2, 90)).astype(np.int32)  # o-o-r too
+    idx = jnp.asarray(idx_np)
+    want = np.asarray(
+        jnp.take_along_axis(src, jnp.clip(idx, 0, 159)[:, :, None], axis=1)
+    )
+    for mode in ("split", "onehot"):
+        monkeypatch.setenv("CASPR_TPU_GATHER", mode)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(gather_rows_pallas(src, idx))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_gather_rows_pallas_grad_interpret():
+    """The custom VJP (scatter-add transpose) must match the XLA gather's
+    gradient exactly."""
+    from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
+
+    rng = np.random.RandomState(12)
+    src = jnp.asarray(rng.randn(2, 64, 5).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 64, size=(2, 40)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(2, 40, 5).astype(np.float32))
+
+    def loss_pl(s):
+        return jnp.sum(gather_rows_pallas(s, idx) * ct)
+
+    def loss_xla(s):
+        return jnp.sum(jnp.take_along_axis(s, idx[:, :, None], axis=1) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = np.asarray(jax.grad(loss_pl)(src))
+    g_xla = np.asarray(jax.grad(loss_xla)(src))
+    np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-6)
 
 
 def test_gather_points_group_points_dispatch_interpret(monkeypatch):
