@@ -25,7 +25,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
-_ROWS = 32  # clouds per grid program (sublane tile)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -33,7 +32,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(num_samples, n, xs_ref, ys_ref, zs_ref, idx_ref):
-    """One grid program = a tile of _ROWS clouds, advanced in lockstep.
+    """One grid program = a VMEM-budget-sized tile of clouds in lockstep.
 
     xs/ys/zs: (R, N_pad) coordinates in VMEM (one cloud per row).
     idx_ref:  (R, M_pad) int32 output.
@@ -84,11 +83,28 @@ def _fps_kernel(num_samples, n, xs_ref, ys_ref, zs_ref, idx_ref):
     idx_ref[:] = out
 
 
-def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
-    """Per-row extraction of the first k in-ball source indices.
+def _d2_from_coords(cent, srct, n):
+    """Exact-f32 VPU pairwise squared distances inside a kernel.
 
-    d2_ref: (1, Mb, N_pad) squared distances (padding = +inf).
-    idx_ref: (1, Mb, K_pad) int32 out.
+    cent: (Mb, 4) padded [x,y,z,0] center rows; srct: (4, N_pad) padded
+    transposed source coords -> (Mb, N_pad) f32, +inf at lanes >= n.
+    Replaces the XLA-side (B, M, N) distance materialization (HBM write
+    + kernel re-read, ~10 GB per forward at the eval point) with an
+    in-VMEM broadcast accumulation from the raw coordinates."""
+    rows = cent.shape[0]
+    n_pad = srct.shape[1]
+    d2 = jnp.zeros((rows, n_pad), jnp.float32)
+    for ax in range(3):
+        diff = cent[:, ax:ax + 1] - srct[ax:ax + 1, :]
+        d2 = d2 + diff * diff
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+    return jnp.where(lane < n, d2, jnp.inf)
+
+
+def _extract_first_k(k, n, r2, d2, k_pad):
+    """Per-row extraction of the first k in-ball source indices from a
+    (Mb, N_pad) squared-distance tile (padding lanes must be +inf or
+    masked by lane < n).
 
     Same semantics as the CUDA ball query behind kaolin's grouping
     (first-K within radius in index order, pad with first hit, 0 if the
@@ -102,9 +118,7 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
     5-pass max-extract-and-clear (r1, 36.5 -> 23.0 ms at SA1 K=32);
     identical outputs.
     """
-    d2 = d2_ref[0]  # (Mb, N_pad)
     rows, n_pad = d2.shape
-    k_pad = idx_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
 
@@ -143,18 +157,29 @@ def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
         out = jnp.where(out_lane == 2 * i, lo, out)
         return jnp.where(out_lane == 2 * i + 1, hi, out)
 
-    idx_ref[0] = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, (k + 1) // 2, body, jnp.zeros((rows, k_pad), jnp.int32)
     )
 
 
-def _knn3_kernel(n, d2_ref, dist_ref, idx_ref):
-    """Per-row 3 smallest squared distances + indices (lowest-index ties).
-
-    d2_ref: (1, Mb, N_pad) (padding = +inf); dist/idx: (1, Mb, K_pad)."""
+def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
+    """Legacy two-step orientation: d2 (1, Mb, N_pad) precomputed by XLA
+    (padding = +inf), idx (1, Mb, K_pad) int32 out."""
     d2 = d2_ref[0]
+    idx_ref[0] = _extract_first_k(k, n, r2, d2, idx_ref.shape[2])
+
+
+def _first_k_fused_kernel(k, n, r2, cent_ref, srct_ref, idx_ref):
+    """Fused orientation: cent (1, Mb, 4) center coords, srct (1, 4,
+    N_pad) transposed source coords; distances computed in-VMEM."""
+    d2 = _d2_from_coords(cent_ref[0], srct_ref[0], n)
+    idx_ref[0] = _extract_first_k(k, n, r2, d2, idx_ref.shape[2])
+
+
+def _extract_knn3(d2, k_pad):
+    """Per-row 3 smallest squared distances + indices (lowest-index ties)
+    from a (Mb, N_pad) tile (padding lanes must be +inf)."""
     rows, n_pad = d2.shape
-    k_pad = idx_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
     out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
     big = jnp.float32(jnp.inf)
@@ -175,8 +200,21 @@ def _knn3_kernel(n, d2_ref, dist_ref, idx_ref):
     d0 = jnp.zeros((rows, k_pad), jnp.float32)
     i0 = jnp.zeros((rows, k_pad), jnp.int32)
     _, dout, iout = jax.lax.fori_loop(0, 3, body, (d2, d0, i0))
-    dist_ref[0] = dout
-    idx_ref[0] = iout
+    return dout, iout
+
+
+def _knn3_kernel(n, d2_ref, dist_ref, idx_ref):
+    """Legacy two-step orientation: d2 (1, Mb, N_pad) precomputed by XLA
+    (padding = +inf); dist/idx: (1, Mb, K_pad)."""
+    del n
+    dist_ref[0], idx_ref[0] = _extract_knn3(d2_ref[0], idx_ref.shape[2])
+
+
+def _knn3_fused_kernel(n, cent_ref, srct_ref, dist_ref, idx_ref):
+    """Fused orientation: cent (1, Mb, 4) query coords, srct (1, 4,
+    M_pad) transposed source coords; distances computed in-VMEM."""
+    d2 = _d2_from_coords(cent_ref[0], srct_ref[0], n)
+    dist_ref[0], idx_ref[0] = _extract_knn3(d2, idx_ref.shape[2])
 
 
 def _gather_kernel(n, src_ref, idx_ref, out_ref):
@@ -357,26 +395,89 @@ def _pairwise_d2_padded(a, b, n_valid):
     return d2
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+def _coord_operands(cent_xyz, src_xyz, rows_pad):
+    """Pack kernel coordinate operands for the fused-d2 orientation.
+
+    cent_xyz (B, M, 3) -> (B, rows_pad, 4) [x,y,z,0] rows;
+    src_xyz (B, N, 3) -> (B, 4, N_pad) transposed coords (zero padding —
+    kernels mask lanes >= n with +inf themselves)."""
+    b, m, _ = cent_xyz.shape
+    n = src_xyz.shape[1]
+    n_pad = _round_up(n, _LANES)
+    cent = jnp.pad(
+        cent_xyz.astype(jnp.float32), ((0, 0), (0, rows_pad - m), (0, 1))
+    )
+    srct = jnp.moveaxis(src_xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    srct = jnp.pad(srct, ((0, 0), (0, 1), (0, n_pad - n)))
+    return cent, srct, n_pad
+
+
+def _fused_d2() -> bool:
+    """Fused in-kernel distance computation (default) vs the legacy
+    XLA-materialized (B, M, N) distance matrix.  CASPR_TPU_FUSED_D2=0
+    keeps the two-step path for A/B."""
+    return os.environ.get("CASPR_TPU_FUSED_D2", "1") != "0"
+
+
 def ball_query_pallas(xyz, new_xyz, radius: float, num_samples: int):
     """Pallas ball query. xyz: (B,N,3), new_xyz: (B,M,3) -> (B,M,K) int32.
-    Matches ops.pointops.ball_query semantics."""
+    Matches ops.pointops.ball_query semantics.
+
+    Dispatch (outside the jits so env flips take effect per call):
+    fused in-kernel distances by default, CASPR_TPU_FUSED_D2=0 for the
+    legacy XLA-materialized distance matrix."""
+    if _fused_d2():
+        return _ball_query_fused(xyz, new_xyz, radius, num_samples)
+    return _ball_query_twostep(xyz, new_xyz, radius, num_samples)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _ball_query_fused(xyz, new_xyz, radius: float, num_samples: int):
     b, n, _ = xyz.shape
     m = new_xyz.shape[1]
-    d2 = _pairwise_d2_padded(new_xyz, xyz, n)
     m_pad = _round_up(m, 8)
-    if m_pad != m:
-        d2 = jnp.pad(d2, ((0, 0), (0, m_pad - m), (0, 0)),
-                     constant_values=jnp.inf)
+    k_pad = _round_up(num_samples, _LANES)
+    mb = min(m_pad, 256)
+    while m_pad % mb:
+        mb //= 2
+    r2 = float(radius) * float(radius)
+    cent, srct, n_pad = _coord_operands(new_xyz, xyz, m_pad)
+    kernel = functools.partial(_first_k_fused_kernel, num_samples, n, r2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m_pad // mb),
+        in_specs=[
+            pl.BlockSpec((1, mb, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, mb, k_pad), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+    )(cent, srct)
+    return out[:, :m, :num_samples]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _ball_query_twostep(xyz, new_xyz, radius: float, num_samples: int):
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    m_pad = _round_up(m, 8)
     k_pad = _round_up(num_samples, _LANES)
     mb = min(m_pad, 256)
     # block row count must divide m_pad
     while m_pad % mb:
         mb //= 2
+    r2 = float(radius) * float(radius)
 
-    kernel = functools.partial(
-        _first_k_kernel, num_samples, n, float(radius) * float(radius)
-    )
+    d2 = _pairwise_d2_padded(new_xyz, xyz, n)
+    if m_pad != m:
+        d2 = jnp.pad(d2, ((0, 0), (0, m_pad - m), (0, 0)),
+                     constant_values=jnp.inf)
+    kernel = functools.partial(_first_k_kernel, num_samples, n, r2)
     out = pl.pallas_call(
         kernel,
         grid=(b, m_pad // mb),
@@ -395,21 +496,74 @@ def ball_query_pallas(xyz, new_xyz, radius: float, num_samples: int):
     return out[:, :m, :num_samples]
 
 
-@jax.jit
 def three_nn_pallas(query_xyz, source_xyz):
     """Pallas 3-NN. query: (B,N,3), source: (B,M,3) -> (d2 (B,N,3),
-    idx (B,N,3) int32), squared distances like kaolin three_nn."""
+    idx (B,N,3) int32), squared distances like kaolin three_nn.
+
+    Dispatch (outside the jits so env flips take effect per call):
+    fused in-kernel distances by default, CASPR_TPU_FUSED_D2=0 for the
+    legacy path.  The legacy path's XLA |a|^2+|b|^2-2ab expansion and
+    the fused kernel's elementwise sum-of-squared-diffs agree to ~1e-7
+    on unit-scale coordinates — both orders of magnitude below the
+    1e-8-epsilon'd inverse-distance weighting downstream."""
+    if _fused_d2():
+        return _three_nn_fused(query_xyz, source_xyz)
+    return _three_nn_twostep(query_xyz, source_xyz)
+
+
+def _knn3_specs(b, q_pad, mb, k_pad):
+    out_specs = [
+        pl.BlockSpec((1, mb, k_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, mb, k_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, q_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, q_pad, k_pad), jnp.int32),
+    ]
+    return out_specs, out_shape
+
+
+@jax.jit
+def _three_nn_fused(query_xyz, source_xyz):
     b, nq, _ = query_xyz.shape
-    d2 = _pairwise_d2_padded(query_xyz, source_xyz, source_xyz.shape[1])
     q_pad = _round_up(nq, 8)
-    if q_pad != nq:
-        d2 = jnp.pad(d2, ((0, 0), (0, q_pad - nq), (0, 0)),
-                     constant_values=jnp.inf)
     k_pad = _LANES
     mb = min(q_pad, 256)
     while q_pad % mb:
         mb //= 2
+    out_specs, out_shape = _knn3_specs(b, q_pad, mb, k_pad)
+    cent, srct, s_pad = _coord_operands(query_xyz, source_xyz, q_pad)
+    kernel = functools.partial(_knn3_fused_kernel, source_xyz.shape[1])
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(b, q_pad // mb),
+        in_specs=[
+            pl.BlockSpec((1, mb, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, s_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(cent, srct)
+    return dist[:, :nq, :3], idx[:, :nq, :3]
 
+
+@jax.jit
+def _three_nn_twostep(query_xyz, source_xyz):
+    b, nq, _ = query_xyz.shape
+    q_pad = _round_up(nq, 8)
+    k_pad = _LANES
+    mb = min(q_pad, 256)
+    while q_pad % mb:
+        mb //= 2
+    out_specs, out_shape = _knn3_specs(b, q_pad, mb, k_pad)
+    d2 = _pairwise_d2_padded(query_xyz, source_xyz, source_xyz.shape[1])
+    if q_pad != nq:
+        d2 = jnp.pad(d2, ((0, 0), (0, q_pad - nq), (0, 0)),
+                     constant_values=jnp.inf)
     kernel = functools.partial(_knn3_kernel, source_xyz.shape[1])
     dist, idx = pl.pallas_call(
         kernel,
@@ -421,20 +575,8 @@ def three_nn_pallas(query_xyz, source_xyz):
                 memory_space=pltpu.VMEM,
             )
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, mb, k_pad), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, mb, k_pad), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, q_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, q_pad, k_pad), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(d2)
     return dist[:, :nq, :3], idx[:, :nq, :3]
 
@@ -454,9 +596,21 @@ def farthest_point_sampling_pallas(xyz, num_samples: int):
             )
         return jnp.broadcast_to(idx, (b, num_samples))
 
-    rows = _ROWS if b > _ROWS else _round_up(max(b, 1), 8)
-    b_pad = _round_up(b, rows)
     n_pad = _round_up(n, _LANES)
+    # Grid programs run sequentially on the TensorCore, so every extra
+    # row tile multiplies the M dependent iterations — take the largest
+    # row count the VMEM budget allows (lockstep rows are ~free; B=160
+    # at N=2048 drops 5 programs x M iters to 1 x M).  Live f32 lanes
+    # arrays per row: xs/ys/zs + min_d + sel + d + lane + init (~8);
+    # inputs double-buffer across programs when the grid has >1 step.
+    budget = 11 * 1024 * 1024
+    b_pad8 = _round_up(max(b, 1), 8)
+    rows_single = budget // (n_pad * 4 * 8) // 8 * 8
+    if b_pad8 <= rows_single:
+        rows = b_pad8
+    else:
+        rows = max(8, budget // (n_pad * 4 * 11) // 8 * 8)
+    b_pad = _round_up(b, rows)
     m_pad = _round_up(num_samples, _LANES)
     coords = jnp.pad(
         xyz.astype(jnp.float32),

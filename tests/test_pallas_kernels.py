@@ -44,6 +44,28 @@ def test_ball_query_pallas_matches_xla_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_d2_matches_legacy_interpret(monkeypatch):
+    """Both distance orientations (fused in-kernel coords / legacy XLA
+    (B, M, N) materialization) must select identical neighbors."""
+    from caspr_tpu.ops.pallas_kernels import three_nn_pallas
+
+    rng = np.random.RandomState(21)
+    xyz = jnp.asarray(rng.randn(2, 200, 3).astype(np.float32) * 0.3)
+    cent = xyz[:, :48]
+    q = jnp.asarray(rng.randn(2, 120, 3).astype(np.float32) * 0.4)
+    s = jnp.asarray(rng.randn(2, 50, 3).astype(np.float32) * 0.4)
+    got = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("CASPR_TPU_FUSED_D2", mode)
+        with pltpu.force_tpu_interpret_mode():
+            bq = np.asarray(ball_query_pallas(xyz, cent, 0.3, 6))
+            nnd, nni = three_nn_pallas(q, s)
+        got[mode] = (bq, np.asarray(nnd), np.asarray(nni))
+    np.testing.assert_array_equal(got["1"][0], got["0"][0])
+    np.testing.assert_array_equal(got["1"][2], got["0"][2])
+    np.testing.assert_allclose(got["1"][1], got["0"][1], atol=1e-6)
+
+
 def test_ball_query_pallas_odd_k_interpret():
     """Odd K exercises the tail of the two-slots-per-row-sum decode (the
     final iteration's hi slot lands in a padding column)."""
