@@ -330,6 +330,129 @@ def _gather_rows_split_call(src, idx):
     return out[:, :r]
 
 
+def _interp3_kernel(m, c_pad, tile, fpack_ref, idx_ref, w_ref, out_ref):
+    """Weighted 3-row gather (three_interpolate) with the interpolation
+    matrix built in-VMEM.
+
+    fpack: (1, M_pad, 3*C_pad) bf16 — exact 3-way split [hi|mid|lo] of
+    the (M, C) source features (see _gather_split_kernel); idx: (1,
+    tile, 4) int32 (3 valid columns); w: (1, tile, 4) f32; out: (1,
+    tile, C_pad) f32.
+
+    The XLA dense path (pointops._three_interpolate_dense) materializes
+    the (B, N, M) interpolation matrix plus its bf16 hi/lo copies in HBM
+    (~7 GB at the FP5 eval shape); here the A-tile is 3 weighted
+    compares on the VPU and never leaves VMEM.  Same 4-product precision
+    scheme: out = ah@(fh+fm+fl) + al@fh with the O(2^-18) al@(fm+fl)
+    term dropped — via ONE bf16 MXU pass over the packed table
+    (column-block sums replace separate dots) plus the al@fh pass.
+    """
+    idx = idx_ref[0]  # (tile, 4)
+    w = w_ref[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    a = jnp.zeros((tile, m), jnp.float32)
+    for j in range(3):
+        a = a + w[:, j:j + 1] * (iota == idx[:, j:j + 1]).astype(jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    fpack = fpack_ref[0]
+    gp = jax.lax.dot_general(
+        ah, fpack, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (tile, 3*C_pad)
+    g4 = jax.lax.dot_general(
+        al, fpack[:, :c_pad], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[0] = (
+        gp[:, :c_pad] + gp[:, c_pad:2 * c_pad] + gp[:, 2 * c_pad:] + g4
+    )
+
+
+def _interp3_tile(m, c) -> int:
+    """Largest query-row tile fitting the VMEM budget (0 = kernel does
+    not fit): the packed split table double-buffers across batch; per
+    tile row the A build (f32 + bf16 hi/lo) spans m_pad lanes and the
+    packed product + out span c_pad."""
+    c_pad = _round_up(c, _LANES)
+    m_pad = _round_up(m, _LANES)
+    fpack_db = m_pad * 3 * c_pad * 2 * 2
+    budget = 12 * 1024 * 1024 - fpack_db
+    per_row = m_pad * 8 + c_pad * 24
+    tile = min(256, budget // per_row // 8 * 8)
+    return max(tile, 0)
+
+
+@jax.jit
+def _three_interpolate_call(features, idx, weights):
+    b, m, c = features.shape
+    n = idx.shape[1]
+    c_pad = _round_up(c, _LANES)
+    m_pad = _round_up(m, _LANES)
+    hi = features.astype(jnp.bfloat16)
+    r1 = features - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    comp_pad = ((0, 0), (0, m_pad - m), (0, c_pad - c))
+    fpack = jnp.concatenate(
+        [jnp.pad(t, comp_pad) for t in (hi, mid, lo)], axis=-1
+    )  # (B, M_pad, 3*C_pad)
+    tile = min(_interp3_tile(m, c), _round_up(n, 8))
+    n_pad = _round_up(n, tile)
+    idx4 = jnp.pad(idx.astype(jnp.int32), ((0, 0), (0, n_pad - n), (0, 1)))
+    w4 = jnp.pad(weights.astype(jnp.float32),
+                 ((0, 0), (0, n_pad - n), (0, 1)))
+    kernel = functools.partial(_interp3_kernel, m_pad, c_pad, tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, m_pad, 3 * c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_pad), jnp.float32),
+    )(fpack, idx4, w4)
+    return out[:, :n, :c]
+
+
+def three_interpolate_vmem_ok(m, c) -> bool:
+    """VMEM guard for the fused interpolation kernel (see _interp3_tile)."""
+    return _interp3_tile(m, c) >= 8
+
+
+@jax.custom_vjp
+def three_interpolate_pallas(features, idx, weights):
+    """Fused three_interpolate: features (B, M, C) f32, idx (B, N, 3)
+    int32, weights (B, N, 3) f32 -> (B, N, C) f32.  Value semantics of
+    pointops._three_interpolate_dense (same 4-product bf16 scheme);
+    VJP runs the dense composition's transpose (cheap relative to
+    training's conv stacks, and gradients stay bit-compatible with the
+    dense path)."""
+    return _three_interpolate_call(features, idx, weights)
+
+
+def _interp3_fwd(features, idx, weights):
+    return three_interpolate_pallas(features, idx, weights), (
+        features, idx, weights)
+
+
+def _interp3_bwd(res, ct):
+    from .pointops import _three_interpolate_dense
+
+    features, idx, weights = res
+    _, vjp = jax.vjp(
+        lambda f, w: _three_interpolate_dense(f, idx, w), features, weights)
+    dfeat, dw = vjp(ct)
+    return dfeat, jnp.zeros_like(idx), dw
+
+
+three_interpolate_pallas.defvjp(_interp3_fwd, _interp3_bwd)
+
+
 @jax.custom_vjp
 def gather_rows_pallas(src, idx):
     """Exact row gather. src: (B, N, C) f32, idx: (B, R) int32 -> (B, R, C).

@@ -17,6 +17,8 @@ caspr_tpu.ops.dispatch.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -117,13 +119,15 @@ def gather_points(points, idx):
     flat_idx = idx.reshape(b, -1)
     # The one-hot contraction wins in the many-rows/few-channels regime
     # (XLA's gather cost is per row; the kernel's grows with C via the
-    # HIGHEST-precision matmul passes).  Measured crossover ~C=32; at
-    # C>=99 XLA take_along is already cheaper.  VMEM guard on the source.
+    # matmul width).  Measured crossover ~C=32 for the r2 HIGHEST-
+    # precision kernel; CASPR_TPU_GATHER_MAXC tunes it for the one-pass
+    # split kernel.  VMEM guard on the source slab.
+    max_c = int(os.environ.get("CASPR_TPU_GATHER_MAXC", "32"))
     src_vmem = n * (((c + 127) // 128) * 128) * 4
     if (
         _use_pallas()
         and points.dtype == jnp.float32
-        and c <= 32
+        and c <= max_c
         and src_vmem <= 4 * 1024 * 1024
     ):
         from .pallas_kernels import gather_rows_pallas
@@ -246,8 +250,21 @@ def three_interpolate(features, idx, weights):
     error ~2^-18 — far below the one-pass bf16 noise of the surrounding
     convs.  M <= 2048 for every FP level of the reference architecture.
     """
-    m = features.shape[1]
+    m, c = features.shape[1], features.shape[2]
     if _use_pallas() and features.dtype == jnp.float32 and m <= 2048:
+        from .pallas_kernels import (
+            three_interpolate_pallas,
+            three_interpolate_vmem_ok,
+        )
+
+        # The Pallas kernel builds the interpolation matrix in-VMEM
+        # (the dense path materializes it + bf16 copies in HBM);
+        # CASPR_TPU_INTERP=dense keeps the XLA path for A/B.
+        if (
+            os.environ.get("CASPR_TPU_INTERP", "pallas") == "pallas"
+            and three_interpolate_vmem_ok(m, c)
+        ):
+            return three_interpolate_pallas(features, idx, weights)
         return _three_interpolate_dense(features, idx, weights)
     gathered = gather_points(features, idx)  # (B, N, 3, C)
     return jnp.sum(gathered * weights[..., None], axis=2)

@@ -161,6 +161,37 @@ def test_gather_rows_pallas_grad_interpret():
     np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-6)
 
 
+def test_three_interpolate_pallas_matches_dense_interpret():
+    """The fused interpolation kernel must match the dense XLA path
+    (same 4-product bf16 precision scheme) in values and gradients."""
+    from caspr_tpu.ops.pallas_kernels import three_interpolate_pallas
+    from caspr_tpu.ops.pointops import _three_interpolate_dense
+
+    rng = np.random.RandomState(13)
+    feats = jnp.asarray(rng.randn(2, 50, 70).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 50, size=(2, 90, 3)).astype(np.int32))
+    w = jax.nn.softmax(
+        jnp.asarray(rng.rand(2, 90, 3).astype(np.float32)), axis=-1)
+    want = np.asarray(_three_interpolate_dense(feats, idx, w))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(three_interpolate_pallas(feats, idx, w))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    ct = jnp.asarray(rng.randn(2, 90, 70).astype(np.float32))
+
+    def loss_pl(f, ww):
+        return jnp.sum(three_interpolate_pallas(f, idx, ww) * ct)
+
+    def loss_dense(f, ww):
+        return jnp.sum(_three_interpolate_dense(f, idx, ww) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf_pl, gw_pl = jax.grad(loss_pl, argnums=(0, 1))(feats, w)
+    gf_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_pl), np.asarray(gf_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_d), atol=1e-6)
+
+
 def test_gather_points_group_points_dispatch_interpret(monkeypatch):
     """group_points through the Pallas gather must equal the XLA path."""
     from caspr_tpu.ops.pointops import ball_query_xla, group_points
