@@ -8,7 +8,7 @@ from .pointops import (
     three_interpolate,
 )
 from .metrics import chamfer_distance, approx_match_emd
-from .odeint import odeint, odeint_adjoint
+from .odeint import odeint, odeint_adjoint, odeint_discrete
 from .sampling import (
     standard_normal_logprob,
     sample_gaussian,

@@ -31,6 +31,7 @@ the call site (see caspr_tpu.models.cnf).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -183,19 +184,13 @@ class _OdeState(NamedTuple):
     steps: Any
 
 
-def _integrate(func, y0, ts, rtol, atol, max_steps):
-    """Core dopri5 loop. ts: (T,) non-decreasing, ts[0] = initial time.
-
-    Returns (outs pytree with leading axis T, nfe float32).
-    """
+def _make_init_state(func, y0, ts, rtol, atol, dtype, stop_ctrl=False):
     num_t = ts.shape[0]
     t0 = ts[0]
-    t_final = ts[-1]
-    dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
-    ts = ts.astype(dtype)
-
     f0 = func(t0, y0)
     h0 = _initial_step(func, t0, y0, f0, rtol, atol).astype(dtype)
+    if stop_ctrl:
+        h0 = lax.stop_gradient(h0)
 
     # Pre-fill request times equal to the initial time.
     filled0 = ts <= t0
@@ -207,56 +202,7 @@ def _integrate(func, y0, ts, rtol, atol, max_steps):
         ),
         y0,
     )
-
-    def cond(s: _OdeState):
-        return (~jnp.all(s.filled)) & (s.steps < max_steps) & (s.t < t_final)
-
-    def body(s: _OdeState):
-        # NOTE: no clamp of h to land on t_final — torchdiffeq 0.0.1 steps
-        # freely past the last request time and interpolates
-        # (Dopri5Solver.advance: "while next_t > rk_state.t1"), so clamping
-        # would change the step sequence and the NFE counts the reference
-        # logs.  The loop exits once every request time is filled.
-        h = s.h
-        ks = [s.f]
-        for i in range(6):
-            ti = s.t + _C[i + 1].astype(dtype) * h
-            yi = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_A[i], ks))
-            ks.append(func(ti, yi))
-        y1 = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_B, ks))
-        err = _tm(lambda d: h * d, _weighted_sum(_B_ERR, ks))
-        ratio = _error_ratio(err, s.y, y1, rtol, atol)
-        accept = ratio <= 1.0
-        t1 = s.t + h
-
-        y_mid = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_C_MID, ks))
-        coeffs = _interp_coeffs(s.y, y1, y_mid, s.f, ks[6], h)
-        # Fill every not-yet-filled request time this step crosses.
-        slack = 1e-6 * jnp.maximum(1.0, jnp.abs(t1))
-        newly = accept & (~s.filled) & (ts <= t1 + slack)
-        thetas = jnp.clip((ts - s.t) / jnp.maximum(h, 1e-30), 0.0, 1.0)
-        interp = _eval_interp_at(coeffs, thetas)
-        outs = _tm(
-            lambda o, v: jnp.where(
-                newly.reshape((-1,) + (1,) * (o.ndim - 1)), v, o
-            ),
-            s.outs,
-            interp,
-        )
-
-        sel = lambda a, b: _tm(lambda x, y: jnp.where(accept, x, y), a, b)
-        return _OdeState(
-            t=jnp.where(accept, t1, s.t),
-            y=sel(y1, s.y),
-            f=sel(ks[6], s.f),  # FSAL
-            h=_optimal_step(h, ratio, accept),
-            outs=outs,
-            filled=s.filled | newly,
-            nfe=s.nfe + 6.0,
-            steps=s.steps + 1,
-        )
-
-    init = _OdeState(
+    return _OdeState(
         t=t0.astype(dtype),
         y=y0,
         f=f0,
@@ -266,11 +212,70 @@ def _integrate(func, y0, ts, rtol, atol, max_steps):
         nfe=jnp.asarray(2.0, jnp.float32),  # f0 + the step-size probe
         steps=jnp.asarray(0, jnp.int32),
     )
-    final = lax.while_loop(cond, body, init)
 
-    # Safety net: any request time not filled (endpoint rounding) takes the
-    # final integrator state.
+
+def _dopri5_step(func, s: _OdeState, ts, rtol, atol, dtype,
+                 stop_ctrl=False) -> _OdeState:
+    """One attempted dopri5 step (identical math for the while-loop and
+    checkpointed-scan integrators).
+
+    NOTE: no clamp of h to land on t_final — torchdiffeq 0.0.1 steps
+    freely past the last request time and interpolates
+    (Dopri5Solver.advance: "while next_t > rk_state.t1"), so clamping
+    would change the step sequence and the NFE counts the reference
+    logs.  The loop exits once every request time is filled.
+
+    ``stop_ctrl``: stop gradients through the step-size controller (the
+    error ratio and next h) so reverse-mode differentiation treats the
+    step sequence as fixed — the discrete analogue of what the
+    continuous adjoint does (it never differentiates step control).
+    """
+    h = s.h
+    ks = [s.f]
+    for i in range(6):
+        ti = s.t + _C[i + 1].astype(dtype) * h
+        yi = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_A[i], ks))
+        ks.append(func(ti, yi))
+    y1 = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_B, ks))
+    err = _tm(lambda d: h * d, _weighted_sum(_B_ERR, ks))
+    ratio = _error_ratio(err, s.y, y1, rtol, atol)
+    if stop_ctrl:
+        ratio = lax.stop_gradient(ratio)
+    accept = ratio <= 1.0
+    t1 = s.t + h
+
+    y_mid = _tm(lambda y, d: y + h * d, s.y, _weighted_sum(_C_MID, ks))
+    coeffs = _interp_coeffs(s.y, y1, y_mid, s.f, ks[6], h)
+    # Fill every not-yet-filled request time this step crosses.
+    slack = 1e-6 * jnp.maximum(1.0, jnp.abs(t1))
+    newly = accept & (~s.filled) & (ts <= t1 + slack)
+    thetas = jnp.clip((ts - s.t) / jnp.maximum(h, 1e-30), 0.0, 1.0)
+    interp = _eval_interp_at(coeffs, thetas)
     outs = _tm(
+        lambda o, v: jnp.where(
+            newly.reshape((-1,) + (1,) * (o.ndim - 1)), v, o
+        ),
+        s.outs,
+        interp,
+    )
+
+    sel = lambda a, b: _tm(lambda x, y: jnp.where(accept, x, y), a, b)
+    return _OdeState(
+        t=jnp.where(accept, t1, s.t),
+        y=sel(y1, s.y),
+        f=sel(ks[6], s.f),  # FSAL
+        h=_optimal_step(h, ratio, accept),
+        outs=outs,
+        filled=s.filled | newly,
+        nfe=s.nfe + 6.0,
+        steps=s.steps + 1,
+    )
+
+
+def _fill_unfilled(final: _OdeState):
+    """Safety net: any request time not filled (endpoint rounding) takes
+    the final integrator state."""
+    return _tm(
         lambda o, y: jnp.where(
             (~final.filled).reshape((-1,) + (1,) * y.ndim),
             jnp.broadcast_to(y, o.shape),
@@ -279,7 +284,66 @@ def _integrate(func, y0, ts, rtol, atol, max_steps):
         final.outs,
         final.y,
     )
-    return outs, final.nfe
+
+
+def _integrate(func, y0, ts, rtol, atol, max_steps):
+    """Core dopri5 loop. ts: (T,) non-decreasing, ts[0] = initial time.
+
+    Returns (outs pytree with leading axis T, nfe float32).
+    """
+    t_final = ts[-1]
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    ts = ts.astype(dtype)
+
+    def cond(s: _OdeState):
+        return (~jnp.all(s.filled)) & (s.steps < max_steps) & (s.t < t_final)
+
+    def body(s: _OdeState):
+        return _dopri5_step(func, s, ts, rtol, atol, dtype)
+
+    init = _make_init_state(func, y0, ts, rtol, atol, dtype)
+    final = lax.while_loop(cond, body, init)
+    return _fill_unfilled(final), final.nfe
+
+
+def _integrate_scan(func, y0, ts, rtol, atol, num_steps):
+    """The same dopri5 integrator as a bounded checkpointed scan, so it is
+    reverse-differentiable without the continuous adjoint.
+
+    Reverse-mode through this stores one solver carry per step and
+    rematerializes the step internals (jax.checkpoint on the body) — the
+    TPU-first discretise-then-optimise alternative to ``odeint_adjoint``:
+    gradients are EXACT for the discrete solution (no backward
+    re-integration error) and the backward pass reuses each step's six
+    dynamics evaluations once via VJP instead of solving a fresh
+    augmented ODE.  Step control is stop-gradiented (the continuous
+    adjoint never differentiates it either).
+
+    ``num_steps`` is a static bound; iterations after every request time
+    is filled pass the carry through a lax.cond (cheap at runtime).
+    Returns (outs, nfe, exhausted) — ``exhausted`` is True when the
+    bound was hit before all request times filled (outputs then fall
+    back to the final integrator state, as in ``_integrate``).
+    """
+    t_final = ts[-1]
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
+    ts = ts.astype(dtype)
+
+    def body(s: _OdeState, _):
+        done = jnp.all(s.filled) | (s.t >= t_final)
+        s = lax.cond(
+            done,
+            lambda s: s,
+            lambda s: _dopri5_step(func, s, ts, rtol, atol, dtype,
+                                   stop_ctrl=True),
+            s,
+        )
+        return s, None
+
+    init = _make_init_state(func, y0, ts, rtol, atol, dtype, stop_ctrl=True)
+    final, _ = lax.scan(jax.checkpoint(body), init, None, length=num_steps)
+    exhausted = ~jnp.all(final.filled)
+    return _fill_unfilled(final), final.nfe, exhausted
 
 
 def odeint(
@@ -317,6 +381,38 @@ def _tree_dot(a, b):
     return jnp.sum(jnp.stack(parts))
 
 
+def odeint_discrete(
+    func: Callable,
+    y0: Any,
+    ts: jnp.ndarray,
+    args: Any = None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-9,
+    num_steps: int | None = None,
+):
+    """``odeint`` via a bounded checkpointed scan: reverse-differentiable
+    by plain backprop through the solver (discretise-then-optimise).
+
+    Gradients are exact for the discrete solution and flow to y0, ts and
+    anything ``func`` closes over as well as ``args`` — no custom_vjp, so
+    the usual closure rules apply.  Memory is one solver carry per step
+    (per-step internals rematerialized); prefer this for training-size
+    solves, ``odeint_adjoint`` for O(1)-memory at very long horizons.
+
+    ``num_steps`` bounds the attempted step count statically (default
+    CASPR_TPU_ODE_STEPS or 128 — about 2x the trained-flow step count at
+    the reference tolerances); if the bound is hit before every request
+    time fills, remaining outputs take the final integrator state, like
+    ``odeint``'s max_steps safety net.
+    """
+    if num_steps is None:
+        num_steps = int(os.environ.get("CASPR_TPU_ODE_STEPS", "128"))
+    wrapped = lambda t, y: func(t, y, args)
+    outs, nfe, _ = _integrate_scan(wrapped, y0, ts, rtol, atol, num_steps)
+    return outs, nfe
+
+
 def odeint_adjoint(
     func: Callable,
     y0: Any,
@@ -344,7 +440,15 @@ def odeint_adjoint(
     so its training logs include adjoint-solve evaluations; a caller that
     differentiates w.r.t. the sink (pass 0.0, read its grad) recovers the
     same accounting.  The primal outputs never depend on the sink.
+
+    CASPR_TPU_ODE_BWD=discrete reroutes every training solve through
+    ``odeint_discrete`` (checkpointed backprop through the solver) for
+    hardware A/B; the sink gradient is then 0 (the backward pass is the
+    step remat, not an adjoint solve — train-log 'nfe' shows
+    forward-only counts in that mode).
     """
+    if os.environ.get("CASPR_TPU_ODE_BWD", "adjoint") == "discrete":
+        return odeint_discrete(func, y0, ts, args, rtol=rtol, atol=atol)
     if nfe_sink is None:
         nfe_sink = jnp.zeros((), jnp.float32)
 

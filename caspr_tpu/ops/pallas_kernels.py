@@ -453,23 +453,103 @@ def _interp3_bwd(res, ct):
 three_interpolate_pallas.defvjp(_interp3_fwd, _interp3_bwd)
 
 
+def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
+    """Per-row async-copy gather: rows stream HBM -> VMEM out block.
+
+    src_ref: (B, N, C) f32 left in HBM (memory_space=ANY); idx_ref:
+    (1, tile) int32 SMEM block; out_ref: (1, tile, C) VMEM block;
+    sems: (nsem,) DMA semaphores forming a rolling window of in-flight
+    row copies.
+
+    This is the gather primitive BENCHMARKS.md's fused-SA postmortem
+    calls for: XLA's take_along_axis and the one-hot MXU contraction
+    both pay costs that scale with N (the one-hot build) or with a
+    HIGHEST-precision multi-pass matmul; a row DMA pays only the row's
+    actual bytes.  Whether the DMA issue rate sustains SA densities
+    (~15M rows/forward at B'=160) is a hardware question — kept as a
+    dispatchable orientation for A/B (CASPR_TPU_GATHER=dma).
+    """
+    b = pl.program_id(0)
+
+    def row_dma(r, slot):
+        i = idx_ref[0, r]
+        return pltpu.make_async_copy(
+            src_ref.at[b, pl.ds(i, 1), :],
+            out_ref.at[0, pl.ds(r, 1), :],
+            sems.at[slot],
+        )
+
+    def start(r, _):
+        row_dma(r, jax.lax.rem(r, nsem)).start()
+        return 0
+
+    jax.lax.fori_loop(0, min(nsem, tile), start, 0)
+
+    def body(r, _):
+        row_dma(r, jax.lax.rem(r, nsem)).wait()
+
+        @pl.when(r + nsem < tile)
+        def _():
+            row_dma(r + nsem, jax.lax.rem(r + nsem, nsem)).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_rows_dma_call(src, idx, interpret=False):
+    b, n, c = src.shape
+    r = idx.shape[1]
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    r_pad = _round_up(r, _LANES)
+    if r_pad != r:
+        idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
+    tile = min(int(os.environ.get("CASPR_TPU_GATHER_DMA_TILE", "2048")),
+               r_pad)
+    while r_pad % tile:
+        tile //= 2
+    nsem = 16
+    kernel = functools.partial(_gather_dma_kernel, tile, nsem)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, r_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i, j: (i, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_pad, c), src.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((16,))],
+        interpret=interpret,
+    )(idx, src)
+    return out[:, :r]
+
+
 @jax.custom_vjp
 def gather_rows_pallas(src, idx):
     """Exact row gather. src: (B, N, C) f32, idx: (B, R) int32 -> (B, R, C).
     Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
     of out-of-range indices to [0, N).
 
-    Two kernel orientations (CASPR_TPU_GATHER=split|onehot selects; auto
+    Three kernel orientations (CASPR_TPU_GATHER=split|onehot|dma; auto
     = split): the split-table rows-major kernel (_gather_split_kernel,
-    one bf16 MXU pass + exact fold) and the original (C, rows)
-    HIGHEST-precision contraction (_gather_kernel) kept for A/B.
+    one bf16 MXU pass + exact fold), the original (C, rows)
+    HIGHEST-precision contraction (_gather_kernel), and the per-row
+    async-copy kernel (_gather_dma_kernel — source stays in HBM, so it
+    has no C or source-slab VMEM limit).
 
     Differentiable: the VJP scatter-adds cotangent rows back to their
     source positions (the transpose of the one-hot contraction), so the
     C<=32 Pallas dispatch in pointops.gather_points is safe for any
     differentiated input."""
-    if os.environ.get("CASPR_TPU_GATHER", "split") == "onehot":
+    mode = os.environ.get("CASPR_TPU_GATHER", "split")
+    if mode == "onehot":
         return _gather_rows_call(src, idx)
+    if mode == "dma":
+        return _gather_rows_dma_call(src, idx)
     return _gather_rows_split_call(src, idx)
 
 
@@ -488,6 +568,21 @@ def _gather_rows_bwd(res, ct):
 
 
 gather_rows_pallas.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+@jax.custom_vjp
+def gather_rows_dma(src, idx):
+    """Forced per-row async-copy gather (see _gather_dma_kernel): the
+    orientation for sites whose C exceeds the VMEM-table kernels' reach.
+    Same semantics and VJP as gather_rows_pallas."""
+    return _gather_rows_dma_call(src, idx)
+
+
+def _gather_rows_dma_fwd(src, idx):
+    return gather_rows_dma(src, idx), (idx, src.shape)
+
+
+gather_rows_dma.defvjp(_gather_rows_dma_fwd, _gather_rows_bwd)
 
 
 def _pairwise_d2_padded(a, b, n_valid):

@@ -127,6 +127,17 @@ def gather_points(points, idx):
     if (
         _use_pallas()
         and points.dtype == jnp.float32
+        and os.environ.get("CASPR_TPU_GATHER_DMA_ALLC", "0") == "1"
+    ):
+        # Opt-in hardware A/B: the per-row async-copy kernel keeps the
+        # source in HBM, so it has no C or source-slab limit and can
+        # serve the big-C sites XLA currently keeps.
+        from .pallas_kernels import gather_rows_dma
+
+        out = gather_rows_dma(points, flat_idx)
+    elif (
+        _use_pallas()
+        and points.dtype == jnp.float32
         and c <= max_c
         and src_vmem <= 4 * 1024 * 1024
     ):

@@ -248,3 +248,106 @@ def test_backward_nfe_zero_for_identity_interval():
         ),
     )(jnp.zeros(()))
     assert float(nfe_bwd) == 0.0
+
+
+# ------------------- discrete (backprop-through-solver) mode ---------------
+
+
+def test_discrete_matches_odeint_values():
+    """The checkpointed-scan integrator runs the same step math as the
+    while-loop one; values and NFE must agree tightly."""
+    from caspr_tpu.ops import odeint_discrete
+
+    func = lambda t, y, args: args["A"] @ jnp.tanh(y)
+    rng = np.random.RandomState(5)
+    A = jnp.asarray(rng.randn(3, 3).astype(np.float32) * 0.4)
+    y0 = jnp.asarray(rng.randn(3).astype(np.float32))
+    ts = jnp.array([0.0, 0.7, 1.3])
+    ys1, nfe1 = odeint(func, y0, ts, {"A": A}, rtol=1e-6, atol=1e-8)
+    ys2, nfe2 = odeint_discrete(
+        func, y0, ts, {"A": A}, rtol=1e-6, atol=1e-8, num_steps=64
+    )
+    np.testing.assert_allclose(np.asarray(ys1), np.asarray(ys2), rtol=1e-6)
+    assert float(nfe1) == float(nfe2)
+
+
+def test_discrete_grads_vs_adjoint_and_fd():
+    """Discrete-mode gradients must agree with the continuous adjoint at
+    tight tolerances and with finite differences."""
+    from caspr_tpu.ops import odeint_discrete
+
+    func = lambda t, y, a: a["A"] @ jnp.tanh(y) + a["b"]
+    rng = np.random.RandomState(6)
+    A = rng.randn(3, 3).astype(np.float32) * 0.3
+    b = rng.randn(3).astype(np.float32) * 0.1
+    y0 = rng.randn(3).astype(np.float32)
+    ts = np.array([0.0, 0.4, 1.0], np.float32)
+    args = {"A": jnp.asarray(A), "b": jnp.asarray(b)}
+
+    def loss_disc(y0, ts, args):
+        ys, _ = odeint_discrete(
+            func, y0, ts, args, rtol=1e-8, atol=1e-10, num_steps=128
+        )
+        return jnp.sum(
+            jnp.sin(ys) * jnp.arange(1.0, 1.0 + ys.size).reshape(ys.shape)
+        )
+
+    g_y0, g_ts, g_args = jax.grad(loss_disc, argnums=(0, 1, 2))(
+        jnp.asarray(y0), jnp.asarray(ts), args
+    )
+    ga_y0, ga_ts, ga_args = jax.grad(_loss, argnums=(0, 1, 2))(
+        jnp.asarray(y0), jnp.asarray(ts), args
+    )
+    np.testing.assert_allclose(np.asarray(g_y0), np.asarray(ga_y0),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_args["A"]),
+                               np.asarray(ga_args["A"]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_args["b"]),
+                               np.asarray(ga_args["b"]), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ts), np.asarray(ga_ts),
+                               rtol=2e-3, atol=1e-4)
+
+    eps = 1e-3
+
+    def fd(f, x):
+        g = np.zeros_like(x)
+        flat = x.reshape(-1)
+        for i in range(flat.size):
+            xp = flat.copy()
+            xm = flat.copy()
+            xp[i] += eps
+            xm[i] -= eps
+            g.reshape(-1)[i] = (
+                f(xp.reshape(x.shape)) - f(xm.reshape(x.shape))
+            ) / (2 * eps)
+        return g
+
+    f_A = lambda v: float(loss_disc(
+        jnp.asarray(y0), jnp.asarray(ts),
+        {"A": jnp.asarray(v), "b": args["b"]}))
+    np.testing.assert_allclose(np.asarray(g_args["A"]), fd(f_A, A),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_discrete_env_dispatch(monkeypatch):
+    """CASPR_TPU_ODE_BWD=discrete must reroute odeint_adjoint callers and
+    keep values identical; nfe_sink gradient becomes 0 in that mode."""
+    func = lambda t, y, args: args * y
+    y0 = jnp.ones(3)
+    ts = jnp.array([0.0, 0.5, 1.0])
+
+    def loss(y, sink):
+        ys, _ = odeint_adjoint(
+            func, y, ts, jnp.asarray(-0.5), rtol=1e-6, atol=1e-8,
+            nfe_sink=sink,
+        )
+        return jnp.sum(ys[1:] ** 2)
+
+    g_adj = jax.grad(loss, argnums=(0, 1))(y0, jnp.zeros(()))
+    monkeypatch.setenv("CASPR_TPU_ODE_BWD", "discrete")
+    g_disc = jax.grad(loss, argnums=(0, 1))(y0, jnp.zeros(()))
+    np.testing.assert_allclose(
+        np.asarray(g_disc[0]), np.asarray(g_adj[0]), rtol=1e-3
+    )
+    assert float(g_adj[1]) > 0.0  # adjoint mode reports backward NFE
+    assert float(g_disc[1]) == 0.0  # discrete mode: no adjoint solve

@@ -132,11 +132,26 @@ def test_gather_rows_split_matches_onehot_interpret(monkeypatch):
     want = np.asarray(
         jnp.take_along_axis(src, jnp.clip(idx, 0, 159)[:, :, None], axis=1)
     )
-    for mode in ("split", "onehot"):
+    for mode in ("split", "onehot", "dma"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(gather_rows_pallas(src, idx))
         np.testing.assert_array_equal(got, want)
+
+
+def test_gather_rows_dma_wide_channels_interpret(monkeypatch):
+    """The DMA orientation has no C limit (source stays in HBM); check a
+    >32-channel gather at a non-128-multiple width is bit-exact."""
+    from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
+
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randn(2, 300, 99).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 300, size=(2, 513)).astype(np.int32))
+    monkeypatch.setenv("CASPR_TPU_GATHER", "dma")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(gather_rows_pallas(src, idx))
+    want = np.asarray(jnp.take_along_axis(src, idx[:, :, None], axis=1))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_gather_rows_pallas_grad_interpret():
@@ -208,3 +223,17 @@ def test_gather_points_group_points_dispatch_interpret(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(group_points(xyz, new_xyz, feats, idx))
     np.testing.assert_array_equal(got, want)
+
+    # opt-in DMA orientation for all channel widths, value + gradient
+    monkeypatch.setenv("CASPR_TPU_GATHER_DMA_ALLC", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(group_points(xyz, new_xyz, feats, idx))
+
+        def loss(f):
+            return jnp.sum(group_points(xyz, new_xyz, f, idx) ** 2)
+
+        g_got = np.asarray(jax.grad(loss)(feats))
+    np.testing.assert_array_equal(got, want)
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "xla")
+    g_want = np.asarray(jax.grad(loss)(feats))
+    np.testing.assert_allclose(g_got, g_want, rtol=1e-6, atol=1e-6)

@@ -23,6 +23,7 @@ import numpy as np
 
 from caspr_tpu.ops.pallas_kernels import (
     _gather_rows_call,
+    _gather_rows_dma_call,
     _gather_rows_split_call,
 )
 
@@ -52,6 +53,7 @@ def main():
         lambda s, i: jnp.take_along_axis(s, i[:, :, None], axis=1))
     onehot = jax.jit(_gather_rows_call)
     split = jax.jit(_gather_rows_split_call)
+    dma = jax.jit(_gather_rows_dma_call)
 
     for c in (3, 8, 16, 32, 64, 96, 128):
         for r in (16384, 32768):
@@ -60,7 +62,8 @@ def main():
             idx = jnp.asarray(idxn)
             t_x = timeit(xla, src, idx)
             row = f"C={c:4d} R={r:6d}: xla {t_x*1e3:7.2f} ms"
-            for name, fn in (("onehot", onehot), ("split", split)):
+            for name, fn in (("onehot", onehot), ("split", split),
+                             ("dma", dma)):
                 try:
                     out = np.asarray(fn(src, idx))
                     ref = np.take_along_axis(

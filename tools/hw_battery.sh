@@ -1,0 +1,36 @@
+#!/bin/bash
+# Orchestrated hardware measurement battery for the r3 kernel work.
+# Runs each stage SERIALLY (one jax process at a time — single CPU core,
+# XLA compiles are single-threaded) with a timeout, logging to
+# /tmp/battery/.  Ordered by information value so a partial run still
+# answers the biggest questions first.
+#
+# Usage: bash tools/hw_battery.sh [stage-to-start-from]
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/battery
+START="${1:-0}"
+
+run() {  # run <num> <name> <timeout> <cmd...>
+  local num="$1" name="$2" tmo="$3"; shift 3
+  [ "$num" -lt "$START" ] && { echo "skip $num $name"; return; }
+  echo "=== stage $num: $name ($(date +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" >"/tmp/battery/${num}_${name}.log" 2>&1
+  echo "rc=$? -> /tmp/battery/${num}_${name}.log"
+  tail -25 "/tmp/battery/${num}_${name}.log"
+}
+
+run 0 sanity     120  python -u -c "import jax; print(jax.devices())"
+run 1 bench      2400 python -u bench.py
+run 2 pn2_default 2400 python -u tools/ab_pointnet2.py
+run 3 pn2_d2_0   2400 env CASPR_TPU_FUSED_D2=0 python -u tools/ab_pointnet2.py
+run 4 pn2_onehot 2400 env CASPR_TPU_GATHER=onehot python -u tools/ab_pointnet2.py
+run 5 pn2_interp_dense 2400 env CASPR_TPU_INTERP=dense python -u tools/ab_pointnet2.py
+run 6 pn2_dma_allc 2400 env CASPR_TPU_GATHER_DMA_ALLC=1 python -u tools/ab_pointnet2.py
+run 7 ab_gather  2400 python -u tools/ab_gather.py
+run 8 bench_train 2400 python -u tools/bench_train.py
+run 9 bench_train_discrete 2400 env CASPR_TPU_ODE_BWD=discrete python -u tools/bench_train.py
+run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
+run 11 dyngather 2400 python -u tools/probe_dyngather2.py
+run 12 ballquery 2400 python -u tools/ab_ballquery.py
+echo "=== battery done ($(date +%H:%M:%S)) ==="
