@@ -1,1 +1,6 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_batch_points,
+)

@@ -16,6 +16,16 @@ outer axis.  The batch axis is sharded over BOTH axes, so the gradient
 all-reduce XLA inserts decomposes hierarchically — reduce-scatter/
 all-gather over ICI within a slice, and the small per-axis reduce across
 slices rides the DCN fabric.  No code in the train step changes.
+
+Sequence/point parallelism (also beyond the reference): ``sp_size > 1``
+adds an inner ``sp`` mesh axis and ``shard_batch_points`` splits the
+POINT axis of the inputs across it, on top of batch-over-dp.  The
+pointwise-heavy stages (per-point MLPs, the CNF decode, TNOCS losses)
+then run point-sharded; where an op genuinely needs all points of a
+cloud (FPS, ball query, 3-NN), GSPMD inserts the all-gather of the
+small coordinate tensors.  This is what lets the reference's batch-5
+full recipe scale past 5 chips, and single-sequence reconstruct scale
+at all — DataParallel has no answer there.
 """
 
 from __future__ import annotations
@@ -28,34 +38,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
 DCN_AXIS = "dcn"
+SP_AXIS = "sp"
 
 
 def make_mesh(
-    devices: Optional[Sequence] = None, *, num_slices: Optional[int] = None
+    devices: Optional[Sequence] = None,
+    *,
+    num_slices: Optional[int] = None,
+    sp_size: int = 1,
 ) -> Mesh:
-    """1-D ``(dp,)`` mesh, or ``(dcn, dp)`` for multi-slice DP.
+    """``(dp,)`` / ``(dcn, dp)`` / ``(dp, sp)`` / ``(dcn, dp, sp)`` mesh.
 
     ``num_slices=None`` infers slice structure from the devices'
     ``slice_index`` attribute (set by the runtime on real multi-slice
     topologies); pass it explicitly to shape a virtual test mesh.
+    ``sp_size`` carves an inner sequence/point-parallel axis out of each
+    slice's devices (innermost, so sp collectives ride the shortest ICI
+    paths).
     """
     devices = list(devices) if devices is not None else jax.devices()
     if num_slices is None:
         slices = {getattr(d, "slice_index", None) or 0 for d in devices}
         num_slices = len(slices)
-    if num_slices <= 1:
-        return Mesh(np.array(devices), (DP_AXIS,))
-    if len(devices) % num_slices:
+    if len(devices) % max(num_slices, 1):
         raise ValueError(
             f"{len(devices)} devices do not divide into {num_slices} slices"
         )
-    # group by slice so the inner dp axis stays on ICI
+    if sp_size > 1 and (len(devices) // max(num_slices, 1)) % sp_size:
+        raise ValueError(
+            f"per-slice device count is not divisible by sp_size={sp_size}"
+        )
+    if num_slices <= 1:
+        if sp_size <= 1:
+            return Mesh(np.array(devices), (DP_AXIS,))
+        arr = np.array(devices).reshape(-1, sp_size)
+        return Mesh(arr, (DP_AXIS, SP_AXIS))
+    # group by slice so the inner dp/sp axes stay on ICI
     devices = sorted(
         devices,
         key=lambda d: (getattr(d, "slice_index", None) or 0, d.id),
     )
-    arr = np.array(devices).reshape(num_slices, -1)
-    return Mesh(arr, (DCN_AXIS, DP_AXIS))
+    if sp_size <= 1:
+        arr = np.array(devices).reshape(num_slices, -1)
+        return Mesh(arr, (DCN_AXIS, DP_AXIS))
+    arr = np.array(devices).reshape(num_slices, -1, sp_size)
+    return Mesh(arr, (DCN_AXIS, DP_AXIS, SP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -72,6 +99,29 @@ def shard_batch(mesh: Mesh, tree):
     """Device_put every array leaf with its batch axis sharded."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def batch_point_sharding(mesh: Mesh, ndim: int, point_axis: int = 2):
+    """Batch axis over the dp axes AND the point axis over ``sp``."""
+    axes = tuple(a for a in (DCN_AXIS, DP_AXIS) if a in mesh.axis_names)
+    spec = [None] * ndim
+    spec[0] = axes
+    if SP_AXIS in mesh.axis_names and ndim > point_axis:
+        spec[point_axis] = SP_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch_points(mesh: Mesh, tree, point_axis: int = 2):
+    """Device_put leaves with batch over dp and points over sp.
+
+    Leaves too small to have a point axis (e.g. (B, T) timestamp arrays)
+    shard their batch axis only."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, batch_point_sharding(mesh, x.ndim, point_axis)
+        ),
+        tree,
+    )
 
 
 def replicate(mesh: Mesh, tree):

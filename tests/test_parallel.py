@@ -8,7 +8,12 @@ import jax.numpy as jnp
 import pytest
 
 from caspr_tpu.models.caspr import CaSPRConfig, CaSPRModel, caspr_init
-from caspr_tpu.parallel import make_mesh, replicate, shard_batch
+from caspr_tpu.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_batch_points,
+)
 from caspr_tpu.train.loop import make_eval_step, make_optimizer, make_train_step
 
 TINY = dict(
@@ -128,3 +133,45 @@ def test_train_step_on_multislice_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_on_dp_sp_mesh():
+    """(dp=2, sp=4): batch over dp AND points over sp must reproduce the
+    single-device training step (point-sharded stages + GSPMD-inserted
+    all-gathers where an op needs all points of a cloud)."""
+    mesh = make_mesh(jax.devices()[:8], sp_size=4)
+    assert mesh.axis_names == ("dp", "sp")
+    cfg = CaSPRConfig(**TINY)
+    model = CaSPRModel(cfg)
+    key = jax.random.PRNGKey(5)
+    params, state = caspr_init(key, cfg)
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+
+    params_r = replicate(mesh, params)
+    state_r = replicate(mesh, state)
+    opt_r = replicate(mesh, opt_state)
+    x, tgt = _batch(key, 2, 2, 32)
+    x_s, tgt_s = shard_batch_points(mesh, (x, tgt))
+
+    step = make_train_step(model, tx, 0.01, 100.0)
+    p1, _, _, metrics = step(params_r, opt_r, state_r, x_s, tgt_s, key)
+    assert np.isfinite(float(metrics["loss"]))
+
+    params2, state2 = caspr_init(jax.random.PRNGKey(5), cfg)
+    opt2 = tx.init(params2)
+    step2 = make_train_step(model, tx, 0.01, 100.0)
+    p2, _, _, metrics2 = step2(params2, opt2, state2, x, tgt, key)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-4
+    )
+    # sp additionally changes the order of point-axis reductions (GroupNorm
+    # stats, the solver's RMS error ratio); Adam's 1/sqrt(v) amplifies the
+    # drift on near-zero-gradient elements, so bound the tail by one lr
+    # unit and demand tight agreement everywhere else
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert (diff <= 3e-4).mean() > 0.995, diff.max()
+        assert diff.max() < 2.5e-3  # sign-flipped Adam step on a ~0 grad
