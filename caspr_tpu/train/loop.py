@@ -21,7 +21,7 @@ import numpy as np
 import optax
 
 from ..models import CaSPRModel
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch_points
 from .trackers import TestStatTracker, log, print_stats
 
 
@@ -168,7 +168,8 @@ def run_one_epoch(
         x = jnp.asarray(batch["input"])
         target = jnp.asarray(batch["target"])
         if mesh is not None:
-            x, target = shard_batch(mesh, (x, target))
+            # batch over the dp axes; point axis over sp when present
+            x, target = shard_batch_points(mesh, (x, target))
 
         if mode == "train":
             params, opt_state, mbn_state, metrics = step_fn(

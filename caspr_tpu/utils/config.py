@@ -58,6 +58,11 @@ def get_train_options(parser: argparse.ArgumentParser):
                         help="Shard the batch across all local devices "
                              "(pjit data parallelism over the ICI mesh).")
     parser.set_defaults(use_parallel=False)
+    parser.add_argument("--sp-size", type=int, default=1,
+                        help="Sequence/point-parallel mesh axis: shard each "
+                             "cloud's POINT axis over this many devices "
+                             "(inner mesh axis, with --parallel). Lets small "
+                             "batches scale past the device count.")
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--val-every", type=int, default=3)
     parser.add_argument("--save-every", type=int, default=10)

@@ -125,10 +125,15 @@ def train(flags):
 
     mesh = None
     if flags.use_parallel:
-        mesh = make_mesh()
-        log(log_out, f"Data-parallel mesh over {mesh.devices.size} devices")
-        if flags.batch_size % mesh.devices.size != 0:
-            log(log_out, "WARNING: batch size not divisible by device count")
+        mesh = make_mesh(sp_size=getattr(flags, "sp_size", 1))
+        log(
+            log_out,
+            f"Parallel mesh over {mesh.devices.size} devices, axes "
+            f"{mesh.axis_names} {tuple(mesh.devices.shape)}",
+        )
+        dp_size = mesh.devices.size // max(getattr(flags, "sp_size", 1), 1)
+        if flags.batch_size % dp_size != 0:
+            log(log_out, "WARNING: batch size not divisible by dp size")
         params = replicate(mesh, params)
         mbn_state = replicate(mesh, mbn_state)
 
