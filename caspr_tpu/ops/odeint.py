@@ -407,7 +407,11 @@ def odeint_discrete(
     ``odeint``'s max_steps safety net.
     """
     if num_steps is None:
-        num_steps = int(os.environ.get("CASPR_TPU_ODE_STEPS", "128"))
+        try:
+            num_steps = int(os.environ.get("CASPR_TPU_ODE_STEPS", "128"))
+        except ValueError:
+            num_steps = 128
+        num_steps = max(num_steps, 1)
     wrapped = lambda t, y: func(t, y, args)
     outs, nfe, _ = _integrate_scan(wrapped, y0, ts, rtol, atol, num_steps)
     return outs, nfe

@@ -505,8 +505,11 @@ def _gather_rows_dma_call(src, idx, interpret=False):
     r_pad = _round_up(r, _LANES)
     if r_pad != r:
         idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
-    tile = min(int(os.environ.get("CASPR_TPU_GATHER_DMA_TILE", "2048")),
-               r_pad)
+    try:
+        tile_env = int(os.environ.get("CASPR_TPU_GATHER_DMA_TILE", "2048"))
+    except ValueError:
+        tile_env = 2048
+    tile = min(max(tile_env, _LANES), r_pad)
     while r_pad % tile:
         tile //= 2
     nsem = 16
