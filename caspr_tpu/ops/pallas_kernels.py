@@ -453,6 +453,73 @@ def _interp3_bwd(res, ct):
 three_interpolate_pallas.defvjp(_interp3_fwd, _interp3_bwd)
 
 
+def _gather_blk_kernel(nblk, tile, c_pad, srct_ref, idx_ref, out_ref):
+    """Block-decomposed in-VMEM lane-shuffle gather.
+
+    srct: (1, C_pad, N_pad) transposed source table (channels on
+    sublanes, points on lanes); idx: (1, 1, tile) int32 in [0, N);
+    out: (1, C_pad, tile).
+
+    Per 128-lane source block: replicate the block across the tile
+    width, shuffle within each 128-lane group by the index's low 7 bits
+    (ONE dynamic lane gather per block), and select it into the
+    accumulator where the index's high bits match the block.  Work is
+    ~2*nblk VPU ops per output element — independent of N per element —
+    vs the one-hot kernels' N-wide MXU contraction per row.  Whether
+    Mosaic's dynamic lane gather (jnp.take_along_axis on the lane axis)
+    compiles at these shapes is the hardware question this orientation
+    exists to answer (see tools/probe_dyngather2.py).
+    """
+    idx = idx_ref[0, 0]  # (tile,)
+    lo = jax.lax.rem(idx, _LANES)
+    hi = jax.lax.div(idx, _LANES)
+    lo2 = jnp.broadcast_to(lo[None, :], (c_pad, tile))
+    hi2 = jnp.broadcast_to(hi[None, :], (c_pad, tile))
+    grp = (
+        jax.lax.broadcasted_iota(jnp.int32, (c_pad, tile), 1) // _LANES
+    ) * _LANES
+    acc = jnp.zeros((c_pad, tile), jnp.float32)
+    for b in range(nblk):
+        blk = srct_ref[0, :, b * _LANES:(b + 1) * _LANES]  # (C_pad, 128)
+        rep = jnp.concatenate([blk] * (tile // _LANES), axis=1)
+        g = jnp.take_along_axis(rep, lo2 + grp, axis=1)
+        acc = jnp.where(hi2 == b, g, acc)
+    out_ref[0] = acc
+
+
+@jax.jit
+def _gather_rows_blk_call(src, idx):
+    b, n, c = src.shape
+    r = idx.shape[1]
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    n_pad = _round_up(n, _LANES)
+    c_pad = _round_up(c, 8)
+    srct = jnp.moveaxis(src, 1, 2)  # (B, C, N)
+    srct = jnp.pad(srct, ((0, 0), (0, c_pad - c), (0, n_pad - n)))
+    r_pad = _round_up(r, _LANES)
+    if r_pad != r:
+        idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
+    tile = min(1024, r_pad)
+    while r_pad % tile:
+        tile //= 2
+    kernel = functools.partial(
+        _gather_blk_kernel, n_pad // _LANES, tile, c_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, r_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, c_pad, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_pad, tile), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_pad, r_pad), jnp.float32),
+    )(srct, idx.reshape(b, 1, r_pad))
+    return jnp.moveaxis(out[:, :c, :r], 1, 2)
+
+
 def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
     """Per-row async-copy gather: rows stream HBM -> VMEM out block.
 
@@ -537,12 +604,13 @@ def gather_rows_pallas(src, idx):
     Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
     of out-of-range indices to [0, N).
 
-    Three kernel orientations (CASPR_TPU_GATHER=split|onehot|dma; auto
-    = split): the split-table rows-major kernel (_gather_split_kernel,
-    one bf16 MXU pass + exact fold), the original (C, rows)
-    HIGHEST-precision contraction (_gather_kernel), and the per-row
-    async-copy kernel (_gather_dma_kernel — source stays in HBM, so it
-    has no C or source-slab VMEM limit).
+    Four kernel orientations (CASPR_TPU_GATHER=split|onehot|dma|blk;
+    auto = split): the split-table rows-major kernel
+    (_gather_split_kernel, one bf16 MXU pass + exact fold), the original
+    (C, rows) HIGHEST-precision contraction (_gather_kernel), the
+    per-row async-copy kernel (_gather_dma_kernel — source stays in
+    HBM, so it has no C or source-slab VMEM limit), and the
+    block-decomposed lane-shuffle kernel (_gather_blk_kernel).
 
     Differentiable: the VJP scatter-adds cotangent rows back to their
     source positions (the transpose of the one-hot contraction), so the
@@ -553,6 +621,8 @@ def gather_rows_pallas(src, idx):
         return _gather_rows_call(src, idx)
     if mode == "dma":
         return _gather_rows_dma_call(src, idx)
+    if mode == "blk":
+        return _gather_rows_blk_call(src, idx)
     return _gather_rows_split_call(src, idx)
 
 

@@ -132,7 +132,7 @@ def test_gather_rows_split_matches_onehot_interpret(monkeypatch):
     want = np.asarray(
         jnp.take_along_axis(src, jnp.clip(idx, 0, 159)[:, :, None], axis=1)
     )
-    for mode in ("split", "onehot", "dma"):
+    for mode in ("split", "onehot", "dma", "blk"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(gather_rows_pallas(src, idx))

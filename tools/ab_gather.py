@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from caspr_tpu.ops.pallas_kernels import (
+    _gather_rows_blk_call,
     _gather_rows_call,
     _gather_rows_dma_call,
     _gather_rows_split_call,
@@ -54,6 +55,7 @@ def main():
     onehot = jax.jit(_gather_rows_call)
     split = jax.jit(_gather_rows_split_call)
     dma = jax.jit(_gather_rows_dma_call)
+    blk = jax.jit(_gather_rows_blk_call)
 
     for c in (3, 8, 16, 32, 64, 96, 128):
         for r in (16384, 32768):
@@ -63,7 +65,7 @@ def main():
             t_x = timeit(xla, src, idx)
             row = f"C={c:4d} R={r:6d}: xla {t_x*1e3:7.2f} ms"
             for name, fn in (("onehot", onehot), ("split", split),
-                             ("dma", dma)):
+                             ("dma", dma), ("blk", blk)):
                 try:
                     out = np.asarray(fn(src, idx))
                     ref = np.take_along_axis(
