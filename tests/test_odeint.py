@@ -351,3 +351,22 @@ def test_discrete_env_dispatch(monkeypatch):
     )
     assert float(g_adj[1]) > 0.0  # adjoint mode reports backward NFE
     assert float(g_disc[1]) == 0.0  # discrete mode: no adjoint solve
+
+
+def test_discrete_step_bound_exhaustion_safety_net():
+    """When num_steps is too small to reach the last request time, the
+    unfilled outputs must take the final integrator state (the same
+    safety net as odeint's max_steps), not zeros."""
+    from caspr_tpu.ops import odeint_discrete
+
+    func = lambda t, y, args: args * y
+    y0 = jnp.ones(2)
+    ts = jnp.array([0.0, 5.0])
+    ys, nfe = odeint_discrete(
+        func, y0, ts, jnp.asarray(-0.8), rtol=1e-10, atol=1e-12, num_steps=2
+    )
+    out = np.asarray(ys)
+    assert np.all(np.isfinite(out))
+    assert out[1].max() < 1.0  # made some progress from y0 toward decay
+    assert out[1].min() > np.exp(-0.8 * 5.0) - 1e-9  # but not converged
+    assert float(nfe) == 2.0 + 12.0  # init probe + exactly 2 steps

@@ -33,6 +33,12 @@ B, T, N = _args.batch, 5, 1024
 
 
 def main():
+    print(
+        "backend:", jax.default_backend(),
+        "ode_bwd:", os.environ.get("CASPR_TPU_ODE_BWD", "adjoint"),
+        "ode_steps:", os.environ.get("CASPR_TPU_ODE_STEPS", "128"),
+        "kernels:", os.environ.get("CASPR_TPU_KERNELS", "auto"),
+    )
     cfg = CaSPRConfig()
     model = CaSPRModel(cfg)
     key = jax.random.PRNGKey(0)

@@ -33,4 +33,8 @@ run 9 bench_train_discrete 2400 env CASPR_TPU_ODE_BWD=discrete python -u tools/b
 run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
 run 11 dyngather 2400 python -u tools/probe_dyngather2.py
 run 12 ballquery 2400 python -u tools/ab_ballquery.py
-echo "=== battery done ($(date +%H:%M:%S)) ==="
+{
+  echo "# battery summary $(date)"
+  grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80
+} > /tmp/battery/SUMMARY.txt
+echo "=== battery done ($(date +%H:%M:%S)) — see /tmp/battery/SUMMARY.txt ==="
