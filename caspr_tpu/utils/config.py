@@ -79,6 +79,13 @@ def get_train_options(parser: argparse.ArgumentParser):
 
 def get_test_options(parser: argparse.ArgumentParser):
     parser.add_argument("--log", type=str, default="test_log.txt")
+    parser.add_argument("--parallel", dest="use_parallel", action="store_true",
+                        help="Shard eval batches across all local devices.")
+    parser.set_defaults(use_parallel=False)
+    parser.add_argument("--sp-size", type=int, default=1,
+                        help="Sequence/point-parallel mesh axis for eval: "
+                             "shard each cloud's POINT axis over this many "
+                             "devices (inner axis, with --parallel).")
     parser.add_argument("--shuffle-test", dest="shuffle_test", action="store_true")
     parser.set_defaults(shuffle_test=False)
     parser.add_argument("--eval-test", dest="eval_full_test", action="store_true")

@@ -21,6 +21,17 @@ import numpy as np
 from ..ops import approx_match_emd, chamfer_distance
 from ..train.trackers import log
 
+
+def _mesh_shard(mesh, x):
+    """Shard a (B, T, N, ...) eval input over the mesh (batch over the dp
+    axes, points over sp when present); identity without a mesh.  Params
+    must already be replicated by the caller (test.py does)."""
+    if mesh is None:
+        return x
+    from ..parallel.mesh import shard_batch_points
+
+    return shard_batch_points(mesh, x)
+
 # protocol for evaluations in the paper (evaluations.py:26-34)
 PROTOCOL_NUM_STEPS = 10
 PROTOCOL_NUM_PTS = 2048
@@ -67,8 +78,13 @@ def test_shape_recon(
     observed_steps: Sequence[int],
     unobserved_steps: Sequence[int],
     key=None,
+    mesh=None,
 ):
-    """Shape reconstruction eval (reference evaluations.py:51-201)."""
+    """Shape reconstruction eval (reference evaluations.py:51-201).
+
+    ``mesh``: optional jax.sharding.Mesh — batches shard over its dp
+    axes and each cloud's points over sp (multi-chip eval, beyond the
+    reference)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     use_unobserved = len(unobserved_steps) > 0
     log(log_out, "Observed steps [%s]" % ",".join(str(i) for i in observed_steps))
@@ -110,7 +126,7 @@ def test_shape_recon(
         _check_protocol(t, n)
         t_obs, t_unobs = len(observed_steps), len(unobserved_steps)
 
-        observed_in = pcl_in[:, observed_steps]
+        observed_in = _mesh_shard(mesh, pcl_in[:, observed_steps])
         timestamps = nocs_out[0, :, 0, 3]
 
         key, sub = jax.random.split(key)
@@ -188,7 +204,7 @@ def test_shape_recon(
                             per_seq_chamfer[li], per_seq_emd[li]])
 
 
-def test_tnocs_regression(model, params, state, loader, log_out):
+def test_tnocs_regression(model, params, state, loader, log_out, mesh=None):
     """T-NOCS regression eval (reference evaluations.py:203-295)."""
 
     @jax.jit
@@ -211,7 +227,7 @@ def test_tnocs_regression(model, params, state, loader, log_out):
         last_t = t
         _check_protocol(t, n)
 
-        _, pred_tnocs = encode(params, pcl_in)
+        _, pred_tnocs = encode(params, _mesh_shard(mesh, pcl_in))
         diff = pred_tnocs[..., :3] - nocs_out[..., :3]
         dist = jnp.mean(jnp.linalg.norm(diff, axis=3), axis=2)  # (B, T)
         stat_dict["space"].extend(np.asarray(dist)[:valid].reshape(-1).tolist())
@@ -302,7 +318,7 @@ def _export_pose_scene(out_dir, name, pred_nocs, pred_nocs_rgb, pred_depth,
 
 
 def test_observed_camera_pose_ransac(model, params, state, loader, log_out,
-                                     show: bool = False):
+                                     show: bool = False, mesh=None):
     """Pose estimation from T-NOCS via correspondence RANSAC
     (reference evaluations.py:297-514).  Uses the native C++ RANSAC module
     (numpy fallback) with o3d-equivalent criteria: threshold 0.015,
@@ -338,7 +354,7 @@ def test_observed_camera_pose_ransac(model, params, state, loader, log_out,
         num_seqs_total += valid
         _check_protocol(num_steps, n)
 
-        _, pred_tnocs = encode(params, pcl_in)
+        _, pred_tnocs = encode(params, _mesh_shard(mesh, pcl_in))
         pred_tnocs = np.asarray(pred_tnocs)
         pcl_in = np.asarray(pcl_in)
 

@@ -83,6 +83,19 @@ def test(flags):
                     ckpt["state"],
                 )
 
+    mesh = None
+    if getattr(flags, "use_parallel", False):
+        from caspr_tpu.parallel import make_mesh, replicate
+
+        mesh = make_mesh(sp_size=getattr(flags, "sp_size", 1))
+        log(
+            log_out,
+            f"Eval mesh over {mesh.devices.size} devices, axes "
+            f"{mesh.axis_names} {tuple(mesh.devices.shape)}",
+        )
+        params = replicate(mesh, params)
+        mbn_state = replicate(mesh, mbn_state)
+
     test_dataset = DynamicPCLDataset(
         flags.data_cfg,
         split="test",
@@ -120,6 +133,7 @@ def test(flags):
             log_out,
             mode="test",
             print_stats_every=1,
+            mesh=mesh,
         )
         means = tracker.get_mean_stats()
         print_stats(
@@ -137,6 +151,7 @@ def test(flags):
             eval_utils.ALL_OBSERVED_STEPS,
             eval_utils.ALL_UNOBSERVED_STEPS,
             key=key,
+            mesh=mesh,
         )
     if flags.eval_shape_recon_unobserved:
         test_shape_recon(
@@ -148,13 +163,16 @@ def test(flags):
             eval_utils.SPLIT_OBSERVED_STEPS,
             eval_utils.SPLIT_UNOBSERVED_STEPS,
             key=key,
+            mesh=mesh,
         )
     if flags.eval_tnocs_regression:
-        test_tnocs_regression(model, params, mbn_state, test_loader, log_out)
+        test_tnocs_regression(
+            model, params, mbn_state, test_loader, log_out, mesh=mesh
+        )
     if flags.eval_pose_observed_ransac:
         test_observed_camera_pose_ransac(
             model, params, mbn_state, test_loader, log_out,
-            show=flags.show_pose_viz,
+            show=flags.show_pose_viz, mesh=mesh,
         )
 
 

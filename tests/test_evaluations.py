@@ -150,3 +150,30 @@ def test_pose_ransac_show_exports_scene(tmp_path, tiny_model):
     assert len(scenes) == 2
     files = os.listdir(os.path.join(tmp_path, scenes[0]))
     assert "viewer.html" in files and "frame_0000.ply" in files
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shape_recon_on_dp_sp_mesh(tmp_path, tiny_model):
+    """The sharded eval (batch over dp, points over sp) must reproduce the
+    single-device protocol metrics."""
+    from caspr_tpu.parallel import make_mesh, replicate
+
+    model, params, state = tiny_model
+    base = os.path.join(tmp_path, "base_log.txt")
+    ev.test_shape_recon(
+        model, params, state, _FakeLoader(), base,
+        ev.SPLIT_OBSERVED_STEPS, ev.SPLIT_UNOBSERVED_STEPS,
+        key=jax.random.PRNGKey(1),
+    )
+    mesh = make_mesh(jax.devices()[:8], sp_size=4)
+    sharded = os.path.join(tmp_path, "mesh_log.txt")
+    ev.test_shape_recon(
+        model, replicate(mesh, params), replicate(mesh, state),
+        _FakeLoader(), sharded,
+        ev.SPLIT_OBSERVED_STEPS, ev.SPLIT_UNOBSERVED_STEPS,
+        key=jax.random.PRNGKey(1), mesh=mesh,
+    )
+    a = np.load(os.path.join(tmp_path, "base_log.npz"))
+    b = np.load(os.path.join(tmp_path, "mesh_log.npz"))
+    for k in ("observed_chamfer", "unobserved_chamfer", "observed_emd"):
+        np.testing.assert_allclose(b[k], a[k], rtol=2e-3, atol=1e-7)
