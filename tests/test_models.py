@@ -370,3 +370,40 @@ def test_shared_times_solve_matches_general_path():
     np.testing.assert_allclose(
         np.asarray(feats_shared), np.asarray(feats_gen), rtol=1e-6, atol=1e-6
     )
+
+
+def test_export_roundtrip_cpu(tmp_path):
+    """jax.export serving artifact: serialize reconstruct+encode for the
+    CPU platform, deserialize, and reproduce the direct call's outputs."""
+    import numpy as np
+    from jax import export as jexp
+    from tools.export_model import export_model
+
+    cfg = tiny_caspr_cfg()
+    model = CaSPRModel(cfg)
+    params, state = caspr_init(jax.random.PRNGKey(0), cfg)
+    paths = export_model(
+        model, params, state, batch=1, steps=3, points=64,
+        platform="cpu", out_dir=str(tmp_path),
+    )
+    key = jax.random.PRNGKey(7)
+    observed = jax.random.uniform(key, (1, 3, 64, 4))
+    timestamps = jnp.linspace(0.0, 1.0, 3)
+
+    exp = jexp.deserialize(open(paths[0], "rb").read())
+    pred, nfe = exp.call(params, state, observed, timestamps, key)
+    _, _, want, _, want_nfe = model.reconstruct(
+        params, state, observed, key, num_points=64,
+        timestamps=timestamps, constant_in_time=False,
+    )
+    # the exported program recompiles with different fusion choices; the
+    # adaptive solver amplifies the ~1e-7 arithmetic differences
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(want), rtol=1e-2, atol=1e-4
+    )
+
+    exp_enc = jexp.deserialize(open(paths[1], "rb").read())
+    z, tnocs = exp_enc.call(params, observed)
+    z2, tnocs2 = model.encode(params, observed)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z2), rtol=1e-2,
+                               atol=1e-3)

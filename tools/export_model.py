@@ -1,0 +1,117 @@
+"""AOT-export the flagship CaSPR inference functions for serving.
+
+Serializes `model.reconstruct` (encode + latent ODE + CNF decode at the
+10x2048 protocol) and `model.encode` (T-NOCS canonicalization) as
+portable StableHLO artifacts via jax.export — the TPU-native deployment
+story: a serving host deserializes the artifact and calls it with a
+params pytree, with no dependency on this repo's Python (only jax).
+Cross-platform lowering means the TPU artifact (Pallas kernels embedded
+as Mosaic custom calls) can be produced from any host, including this
+CPU-only one.
+
+Usage:
+    python tools/export_model.py --out exported/ [--weights ckpt.pkl]
+        [--batch 16] [--platform tpu cpu] [--steps 10] [--points 2048]
+
+Artifacts: <out>/caspr_reconstruct_<platform>.jaxexport and
+           <out>/caspr_encode_<platform>.jaxexport, plus MANIFEST.txt.
+Load with:
+    from jax import export
+    exp = export.deserialize(open(path, 'rb').read())
+    pred, nfe = exp.call(params, state, observed, timestamps, key)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from caspr_tpu.utils.runtime import enable_compile_cache
+
+enable_compile_cache()
+
+import jax.numpy as jnp
+from jax import export as jexp
+
+
+def export_model(model, params, state, *, batch, steps, points, platform,
+                 out_dir):
+    """Export reconstruct + encode for one platform; returns file paths."""
+    key = jax.random.PRNGKey(0)
+    observed = jnp.zeros((batch, steps, points, 4), jnp.float32)
+    timestamps = jnp.linspace(0.0, 1.0, steps)
+
+    def reconstruct(params, state, observed, timestamps, key):
+        _, _, pred, _, nfe = model.reconstruct(
+            params, state, observed, key,
+            num_points=points, timestamps=timestamps,
+            constant_in_time=False,
+        )
+        return pred, nfe
+
+    def encode(params, observed):
+        return model.encode(params, observed)
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for name, fn, args in (
+        ("reconstruct", reconstruct, (params, state, observed, timestamps,
+                                      key)),
+        ("encode", encode, (params, observed)),
+    ):
+        exp = jexp.export(jax.jit(fn), platforms=(platform,))(*args)
+        path = os.path.join(out_dir, f"caspr_{name}_{platform}.jaxexport")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        paths.append(path)
+        print(f"{name} [{platform}]: {os.path.getsize(path)/1e6:.1f} MB "
+              f"-> {path}")
+    return paths
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="exported")
+    ap.add_argument("--weights", default="")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--platform", nargs="+", default=["tpu"])
+    args = ap.parse_args()
+
+    if "tpu" in args.platform:
+        # cross-lowering needs no TPU; keep tracing on the host CPU and
+        # force the Pallas kernel paths into the exported TPU program
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("CASPR_TPU_KERNELS", "pallas")
+
+    from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
+    from caspr_tpu.train import load_checkpoint, load_weights
+
+    cfg = CaSPRConfig()
+    model = CaSPRModel(cfg)
+    params, state = caspr_init(jax.random.PRNGKey(0), cfg)
+    if args.weights:
+        ckpt = load_checkpoint(args.weights)
+        params = load_weights(params, ckpt["params"])
+        if ckpt.get("state"):
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.asarray(b, a.dtype), state, ckpt["state"]
+            )
+
+    manifest = [f"caspr-tpu export: batch={args.batch} steps={args.steps} "
+                f"points={args.points} weights={args.weights or 'random'}"]
+    for platform in args.platform:
+        manifest += export_model(
+            model, params, state, batch=args.batch, steps=args.steps,
+            points=args.points, platform=platform, out_dir=args.out,
+        )
+    with open(os.path.join(args.out, "MANIFEST.txt"), "w") as f:
+        f.write("\n".join(str(m) for m in manifest) + "\n")
+
+
+if __name__ == "__main__":
+    main()
