@@ -38,8 +38,14 @@ from jax import export as jexp
 
 
 def export_model(model, params, state, *, batch, steps, points, platform,
-                 out_dir):
-    """Export reconstruct + encode for one platform; returns file paths."""
+                 out_dir, loose_platform=False, check=False):
+    """Export reconstruct + encode for one platform; returns file paths.
+
+    ``loose_platform`` disables the artifact's platform safety check —
+    needed to run a 'tpu' artifact on TPU shims that register under a
+    different platform name (e.g. this container's 'axon' tunnel).
+    ``check`` deserializes each artifact and calls it on the current
+    backend right away (smoke the full serve path)."""
     key = jax.random.PRNGKey(0)
     observed = jnp.zeros((batch, steps, points, 4), jnp.float32)
     timestamps = jnp.linspace(0.0, 1.0, steps)
@@ -56,19 +62,31 @@ def export_model(model, params, state, *, batch, steps, points, platform,
         return model.encode(params, observed)
 
     os.makedirs(out_dir, exist_ok=True)
+    disabled = (
+        [jexp.DisabledSafetyCheck.platform()] if loose_platform else []
+    )
     paths = []
     for name, fn, args in (
         ("reconstruct", reconstruct, (params, state, observed, timestamps,
                                       key)),
         ("encode", encode, (params, observed)),
     ):
-        exp = jexp.export(jax.jit(fn), platforms=(platform,))(*args)
+        exp = jexp.export(
+            jax.jit(fn), platforms=(platform,), disabled_checks=disabled
+        )(*args)
         path = os.path.join(out_dir, f"caspr_{name}_{platform}.jaxexport")
         with open(path, "wb") as f:
             f.write(exp.serialize())
         paths.append(path)
         print(f"{name} [{platform}]: {os.path.getsize(path)/1e6:.1f} MB "
               f"-> {path}")
+        if check:
+            import numpy as np
+
+            out = jexp.deserialize(open(path, "rb").read()).call(*args)
+            leaves = jax.tree_util.tree_leaves(out)
+            print(f"  check: called ok, out[0] shape {leaves[0].shape}, "
+                  f"finite={bool(np.all(np.isfinite(np.asarray(leaves[0]))))}")
     return paths
 
 
@@ -80,9 +98,15 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--points", type=int, default=2048)
     ap.add_argument("--platform", nargs="+", default=["tpu"])
+    ap.add_argument("--loose-platform-check", action="store_true",
+                    help="Disable the artifact's platform safety check "
+                         "(run 'tpu' artifacts on differently-named TPU "
+                         "shims, e.g. the axon tunnel).")
+    ap.add_argument("--check", action="store_true",
+                    help="Deserialize and call each artifact right away.")
     args = ap.parse_args()
 
-    if "tpu" in args.platform:
+    if "tpu" in args.platform and not args.check:
         # cross-lowering needs no TPU; keep tracing on the host CPU and
         # force the Pallas kernel paths into the exported TPU program
         jax.config.update("jax_platforms", "cpu")
@@ -108,6 +132,7 @@ def main():
         manifest += export_model(
             model, params, state, batch=args.batch, steps=args.steps,
             points=args.points, platform=platform, out_dir=args.out,
+            loose_platform=args.loose_platform_check, check=args.check,
         )
     with open(os.path.join(args.out, "MANIFEST.txt"), "w") as f:
         f.write("\n".join(str(m) for m in manifest) + "\n")

@@ -33,6 +33,7 @@ run 9 bench_train_discrete 2400 env CASPR_TPU_ODE_BWD=discrete python -u tools/b
 run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
 run 11 dyngather 2400 python -u tools/probe_dyngather2.py
 run 12 ballquery 2400 python -u tools/ab_ballquery.py
+run 13 export_check 2400 python -u tools/export_model.py --out /tmp/exported_hw --batch 1 --steps 3 --points 256 --loose-platform-check --check
 {
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80
