@@ -109,7 +109,35 @@ def model_flops_per_seq(nfe_cnf: float, nfe_ode: float) -> float:
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 
 
-def main():
+# Progressive kernel-preset fallback: the r3 kernel defaults (split
+# gather / fused-d2 / Pallas interp) were committed during a TPU-tunnel
+# outage with interpret-mode verification only.  If a Mosaic compile
+# rejects one on real hardware, the bench must still produce its JSON
+# line — each failure re-execs with the next (previously proven) preset.
+PRESETS = [
+    ("r3-defaults", {}),
+    ("r2-proven", {
+        "CASPR_TPU_GATHER": "onehot",
+        "CASPR_TPU_FUSED_D2": "0",
+        "CASPR_TPU_INTERP": "dense",
+    }),
+    ("xla", {"CASPR_TPU_KERNELS": "xla"}),
+]
+
+
+def main(preset: str = "r3-defaults"):
+    # test hooks for the fallback chain (no device work): FAIL_BELOW
+    # makes earlier presets raise, SMOKE prints a stub record
+    fail_below = int(os.environ.get("CASPR_BENCH_FAIL_BELOW", "-1"))
+    if PRESETS[fail_below + 1:] and preset in [
+        p for p, _ in PRESETS[:fail_below + 1]
+    ]:
+        raise RuntimeError(f"test hook: preset {preset} forced to fail")
+    if os.environ.get("CASPR_BENCH_SMOKE", "0") == "1":
+        print(json.dumps({"metric": "smoke", "value": 0, "unit": "none",
+                          "vs_baseline": 0, "kernel_preset": preset}))
+        return
+
     from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
 
     cfg = CaSPRConfig()
@@ -172,6 +200,7 @@ def main():
         "model_flops_unit": "TFLOP/s",
         "mfu_bf16": round(flops_per_sec / V5E_BF16_PEAK, 4),
         "nfe_cnf": round(nfe_cnf, 1),
+        "kernel_preset": preset,
     }
     if os.environ.get("CASPR_BENCH_TRAIN", "0") == "1":
         record["train_step_ms"] = round(measure_train_step(), 1)
@@ -223,4 +252,25 @@ def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    import subprocess
+    import sys
+
+    _idx = int(os.environ.get("CASPR_BENCH_PRESET_IDX", "0"))
+    try:
+        main(preset=PRESETS[_idx][0])
+    except Exception as _e:  # noqa: BLE001 — any kernel failure falls back
+        if _idx + 1 < len(PRESETS):
+            _name, _env = PRESETS[_idx + 1]
+            print(
+                f"bench preset {PRESETS[_idx][0]} failed "
+                f"({type(_e).__name__}: {str(_e)[:200]}); retrying with "
+                f"{_name}",
+                file=sys.stderr,
+            )
+            _envs = dict(os.environ)
+            _envs.update(_env)
+            _envs["CASPR_BENCH_PRESET_IDX"] = str(_idx + 1)
+            sys.exit(subprocess.call(
+                [sys.executable, os.path.abspath(__file__)], env=_envs
+            ))
+        raise
