@@ -28,6 +28,7 @@ run 4 pn2_onehot 2400 env CASPR_TPU_GATHER=onehot python -u tools/ab_pointnet2.p
 run 5 pn2_interp_dense 2400 env CASPR_TPU_INTERP=dense python -u tools/ab_pointnet2.py
 run 6 pn2_dma_allc 2400 env CASPR_TPU_GATHER_DMA_ALLC=1 python -u tools/ab_pointnet2.py
 run 7 ab_gather  2400 python -u tools/ab_gather.py
+run 14 pn2_blk   2400 env CASPR_TPU_GATHER=blk python -u tools/ab_pointnet2.py
 run 8 bench_train 2400 python -u tools/bench_train.py
 run 9 bench_train_discrete 2400 env CASPR_TPU_ODE_BWD=discrete python -u tools/bench_train.py
 run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
