@@ -128,10 +128,11 @@ PRESETS = [
 def main(preset: str = "r3-defaults"):
     # test hooks for the fallback chain (no device work): FAIL_BELOW
     # makes earlier presets raise, SMOKE prints a stub record
-    fail_below = int(os.environ.get("CASPR_BENCH_FAIL_BELOW", "-1"))
-    if PRESETS[fail_below + 1:] and preset in [
-        p for p, _ in PRESETS[:fail_below + 1]
-    ]:
+    try:
+        fail_below = int(os.environ.get("CASPR_BENCH_FAIL_BELOW", "-1"))
+    except ValueError:
+        fail_below = -1
+    if preset in [p for p, _ in PRESETS[:fail_below + 1]]:
         raise RuntimeError(f"test hook: preset {preset} forced to fail")
     if os.environ.get("CASPR_BENCH_SMOKE", "0") == "1":
         print(json.dumps({"metric": "smoke", "value": 0, "unit": "none",

@@ -413,7 +413,23 @@ def odeint_discrete(
             num_steps = 128
         num_steps = max(num_steps, 1)
     wrapped = lambda t, y: func(t, y, args)
-    outs, nfe, _ = _integrate_scan(wrapped, y0, ts, rtol, atol, num_steps)
+    outs, nfe, exhausted = _integrate_scan(
+        wrapped, y0, ts, rtol, atol, num_steps
+    )
+
+    # Truncation is silent data corruption if unsurfaced: flag it at
+    # runtime (works under jit; ~free when not exhausted).
+    def _warn(_):
+        jax.debug.print(
+            "WARNING: odeint_discrete hit its {n}-attempted-step bound "
+            "before filling every request time; outputs past the bound "
+            "hold the final integrator state. Raise CASPR_TPU_ODE_STEPS "
+            "or num_steps.",
+            n=num_steps,
+        )
+        return 0
+
+    lax.cond(exhausted, _warn, lambda _: 0, 0)
     return outs, nfe
 
 

@@ -592,7 +592,7 @@ def _gather_rows_dma_call(src, idx, interpret=False):
         out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, r_pad, c), src.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((16,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
         interpret=interpret,
     )(idx, src)
     return out[:, :r]

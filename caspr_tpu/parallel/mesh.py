@@ -102,8 +102,14 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def batch_point_sharding(mesh: Mesh, ndim: int, point_axis: int = 2):
-    """Batch axis over the dp axes AND the point axis over ``sp``."""
+    """Batch axis over the dp axes AND the point axis over ``sp``.
+
+    0-d leaves replicate; leaves with ``ndim <= point_axis`` shard their
+    leading (batch) axis only — leaves are batch-leading by the same
+    contract ``shard_batch`` assumes."""
     axes = tuple(a for a in (DCN_AXIS, DP_AXIS) if a in mesh.axis_names)
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     spec = [None] * ndim
     spec[0] = axes
     if SP_AXIS in mesh.axis_names and ndim > point_axis:
@@ -112,10 +118,9 @@ def batch_point_sharding(mesh: Mesh, ndim: int, point_axis: int = 2):
 
 
 def shard_batch_points(mesh: Mesh, tree, point_axis: int = 2):
-    """Device_put leaves with batch over dp and points over sp.
-
-    Leaves too small to have a point axis (e.g. (B, T) timestamp arrays)
-    shard their batch axis only."""
+    """Device_put leaves with the leading (batch) axis over dp and the
+    point axis over sp.  Leaves without a point axis (e.g. (B, T)
+    timestamp arrays) shard batch only; 0-d leaves replicate."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x, batch_point_sharding(mesh, x.ndim, point_axis)

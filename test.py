@@ -95,6 +95,14 @@ def test(flags):
         )
         params = replicate(mesh, params)
         mbn_state = replicate(mesh, mbn_state)
+        dp_size = mesh.devices.size // max(getattr(flags, "sp_size", 1), 1)
+        if flags.batch_size % dp_size != 0:
+            log(
+                log_out,
+                f"WARNING: batch size {flags.batch_size} not divisible by "
+                f"dp size {dp_size}; sharded eval will fail — adjust "
+                f"--batch-size or --sp-size",
+            )
 
     test_dataset = DynamicPCLDataset(
         flags.data_cfg,

@@ -50,6 +50,15 @@ def export_model(model, params, state, *, batch, steps, points, platform,
     observed = jnp.zeros((batch, steps, points, 4), jnp.float32)
     timestamps = jnp.linspace(0.0, 1.0, steps)
 
+    # Kernel dispatch reads CASPR_TPU_KERNELS at trace time: force the
+    # Pallas paths into TPU artifacts and the XLA paths into CPU ones,
+    # restoring the caller's env afterwards (so `--platform tpu cpu`
+    # exports both correctly in one process).
+    prev_kernels = os.environ.get("CASPR_TPU_KERNELS")
+    os.environ["CASPR_TPU_KERNELS"] = (
+        "pallas" if platform == "tpu" else "xla"
+    )
+
     def reconstruct(params, state, observed, timestamps, key):
         _, _, pred, _, nfe = model.reconstruct(
             params, state, observed, key,
@@ -87,6 +96,10 @@ def export_model(model, params, state, *, batch, steps, points, platform,
             leaves = jax.tree_util.tree_leaves(out)
             print(f"  check: called ok, out[0] shape {leaves[0].shape}, "
                   f"finite={bool(np.all(np.isfinite(np.asarray(leaves[0]))))}")
+    if prev_kernels is None:
+        os.environ.pop("CASPR_TPU_KERNELS", None)
+    else:
+        os.environ["CASPR_TPU_KERNELS"] = prev_kernels
     return paths
 
 
@@ -107,10 +120,9 @@ def main():
     args = ap.parse_args()
 
     if "tpu" in args.platform and not args.check:
-        # cross-lowering needs no TPU; keep tracing on the host CPU and
-        # force the Pallas kernel paths into the exported TPU program
+        # cross-lowering needs no TPU; keep tracing on the host CPU
+        # (export_model forces the right kernel paths per platform)
         jax.config.update("jax_platforms", "cpu")
-        os.environ.setdefault("CASPR_TPU_KERNELS", "pallas")
 
     from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
     from caspr_tpu.train import load_checkpoint, load_weights

@@ -21,20 +21,20 @@ run() {  # run <num> <name> <timeout> <cmd...>
 }
 
 run 0 sanity     120  python -u -c "import jax; print(jax.devices())"
-run 1 bench      2400 python -u bench.py
+run 1 bench      7200 python -u bench.py  # covers the preset-fallback chain (up to 3 cold compiles)
 run 2 pn2_default 2400 python -u tools/ab_pointnet2.py
 run 3 pn2_d2_0   2400 env CASPR_TPU_FUSED_D2=0 python -u tools/ab_pointnet2.py
 run 4 pn2_onehot 2400 env CASPR_TPU_GATHER=onehot python -u tools/ab_pointnet2.py
 run 5 pn2_interp_dense 2400 env CASPR_TPU_INTERP=dense python -u tools/ab_pointnet2.py
 run 6 pn2_dma_allc 2400 env CASPR_TPU_GATHER_DMA_ALLC=1 python -u tools/ab_pointnet2.py
 run 7 ab_gather  2400 python -u tools/ab_gather.py
-run 14 pn2_blk   2400 env CASPR_TPU_GATHER=blk python -u tools/ab_pointnet2.py
 run 8 bench_train 2400 python -u tools/bench_train.py
 run 9 bench_train_discrete 2400 env CASPR_TPU_ODE_BWD=discrete python -u tools/bench_train.py
 run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
 run 11 dyngather 2400 python -u tools/probe_dyngather2.py
 run 12 ballquery 2400 python -u tools/ab_ballquery.py
 run 13 export_check 2400 python -u tools/export_model.py --out /tmp/exported_hw --batch 1 --steps 3 --points 256 --loose-platform-check --check
+run 14 pn2_blk   2400 env CASPR_TPU_GATHER=blk python -u tools/ab_pointnet2.py
 {
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80
