@@ -154,9 +154,11 @@ def test_gather_rows_dma_wide_channels_interpret(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
-def test_gather_rows_pallas_grad_interpret():
+def test_gather_rows_pallas_grad_interpret(monkeypatch):
     """The custom VJP (scatter-add transpose) must match the XLA gather's
-    gradient exactly."""
+    gradient exactly — for every kernel orientation (training
+    differentiates the C<=32 gathers, so each orientation's grad path is
+    live when selected)."""
     from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
 
     rng = np.random.RandomState(12)
@@ -170,10 +172,13 @@ def test_gather_rows_pallas_grad_interpret():
     def loss_xla(s):
         return jnp.sum(jnp.take_along_axis(s, idx[:, :, None], axis=1) * ct)
 
-    with pltpu.force_tpu_interpret_mode():
-        g_pl = np.asarray(jax.grad(loss_pl)(src))
     g_xla = np.asarray(jax.grad(loss_xla)(src))
-    np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-6)
+    for mode in ("split", "onehot", "dma", "blk"):
+        monkeypatch.setenv("CASPR_TPU_GATHER", mode)
+        with pltpu.force_tpu_interpret_mode():
+            g_pl = np.asarray(jax.grad(loss_pl)(src))
+        np.testing.assert_allclose(g_pl, g_xla, rtol=0, atol=1e-6,
+                                   err_msg=mode)
 
 
 def test_three_interpolate_pallas_matches_dense_interpret():
