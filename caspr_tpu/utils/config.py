@@ -74,6 +74,13 @@ def get_train_options(parser: argparse.ArgumentParser):
     parser.add_argument("--decay", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0,
                         help="Global PRNG seed (new: JAX uses explicit keys).")
+    parser.add_argument("--ode-backward", type=str, default="adjoint",
+                        choices=["adjoint", "discrete"],
+                        help="Training gradients through the ODE solves: "
+                             "'adjoint' = continuous adjoint (reference "
+                             "parity, O(1) memory); 'discrete' = backprop "
+                             "through the solver (checkpointed scan, exact "
+                             "discrete gradients).")
     return parser
 
 
@@ -151,10 +158,15 @@ def get_viz_options(parser: argparse.ArgumentParser):
 
 def apply_runtime_flags(flags):
     """Apply global runtime knobs picked via CLI."""
+    import os
+
     import jax
 
     if getattr(flags, "matmul_precision", "default") != "default":
         jax.config.update("jax_default_matmul_precision", flags.matmul_precision)
+    if getattr(flags, "ode_backward", "adjoint") != "adjoint":
+        # the solver dispatch reads this at trace time (ops/odeint.py)
+        os.environ["CASPR_TPU_ODE_BWD"] = flags.ode_backward
 
 
 def caspr_config_from_flags(flags):
