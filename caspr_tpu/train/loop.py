@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import lax
 
 from ..models import CaSPRModel
 from ..parallel.mesh import shard_batch_points
@@ -48,36 +49,117 @@ def compute_losses(out, cnf_loss_weight, tnocs_loss_weight):
     return cnf_loss + tnocs_loss, cnf_loss, tnocs_loss
 
 
-def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
-    """Returns jitted step(params, opt_state, mbn_state, x, target, key)."""
+def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight,
+                    accum_steps: int = 1):
+    """Returns jitted step(params, opt_state, mbn_state, x, target, key).
+
+    ``accum_steps > 1`` splits the batch into that many microbatches,
+    accumulates averaged gradients over a lax.scan, and applies ONE
+    optimizer update — peak activation memory drops ~accum_steps-fold
+    for the same effective batch (the reference is pinned to batch 5 by
+    16GB V100s; this is the TPU-native way past the same wall).  Note
+    the usual batch-norm caveat: MovingBatchNorm normalizes each
+    microbatch by its own stats and its running stats advance per
+    microbatch, so losses match the unaccumulated step exactly only for
+    MBN-free configs (e.g. T-NOCS pretraining).
+    """
+
+    def loss_fn(p, sink, mbn_state, x, target, key):
+        out, new_state = model.forward(
+            p, mbn_state, x, target, key, training=True, nfe_sink=sink
+        )
+        loss, cnf_loss, tnocs_loss = compute_losses(
+            out, cnf_loss_weight, tnocs_loss_weight
+        )
+        aux = {
+            "cnf_loss": cnf_loss,
+            "tnocs_loss": tnocs_loss,
+            "nfe": out["nfe"],
+            "mean_nll": jnp.mean(out["nll"]) if "nll" in out else 0.0,
+            "tnocs_per_point": (
+                out["tnocs_loss"] if "tnocs_loss" in out else None
+            ),
+            "new_state": new_state,
+        }
+        return loss, aux
+
+    sink0 = {
+        "latent": jnp.zeros((), jnp.float32),
+        "cnf": jnp.zeros((), jnp.float32),
+    }
+
+    def grads_of(params, mbn_state, x, target, key):
+        return jax.value_and_grad(loss_fn, has_aux=True, argnums=(0, 1))(
+            params, sink0, mbn_state, x, target, key
+        )
 
     def step(params, opt_state, mbn_state, x, target, key):
-        def loss_fn(p, sink):
-            out, new_state = model.forward(
-                p, mbn_state, x, target, key, training=True, nfe_sink=sink
+        if accum_steps == 1:
+            (loss, aux), (grads, nfe_bwd) = grads_of(
+                params, mbn_state, x, target, key
             )
-            loss, cnf_loss, tnocs_loss = compute_losses(
-                out, cnf_loss_weight, tnocs_loss_weight
+        else:
+            b = x.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {accum_steps}"
+                )
+            xm = x.reshape(accum_steps, b // accum_steps, *x.shape[1:])
+            tm = target.reshape(accum_steps, b // accum_steps,
+                                *target.shape[1:])
+            keys = jax.random.split(key, accum_steps)
+
+            def micro(carry, inp):
+                g_acc, nfe_acc, state = carry
+                xi, ti, ki = inp
+                (loss_i, aux_i), (g_i, nfe_i) = grads_of(
+                    params, state, xi, ti, ki
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_i)
+                nfe_acc = jax.tree_util.tree_map(jnp.add, nfe_acc, nfe_i)
+                scalars = {
+                    "loss": loss_i,
+                    "cnf_loss": aux_i["cnf_loss"],
+                    "tnocs_loss": aux_i["tnocs_loss"],
+                    "mean_nll": aux_i["mean_nll"],
+                    "nfe": jnp.stack([
+                        aux_i["nfe"][0].astype(jnp.float32),
+                        aux_i["nfe"][1].astype(jnp.float32),
+                    ]),
+                }
+                if aux_i["tnocs_per_point"] is not None:
+                    sp = aux_i["tnocs_per_point"]
+                    scalars["tnocs_pos"] = jnp.mean(
+                        jnp.linalg.norm(sp[..., :3], axis=-1)
+                    )
+                    scalars["tnocs_time"] = jnp.mean(sp[..., 3])
+                return (g_acc, nfe_acc, aux_i["new_state"]), scalars
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (g_sum, nfe_bwd, new_state), ms = lax.scan(
+                micro,
+                (g0, dict(sink0), mbn_state),
+                (xm, tm, keys),
             )
+            grads = jax.tree_util.tree_map(
+                lambda g: g / accum_steps, g_sum
+            )
+            # microbatch means average to the full-batch mean (equal
+            # sizes); NFE totals sum across the microbatch solves
+            loss = jnp.mean(ms["loss"])
             aux = {
-                "cnf_loss": cnf_loss,
-                "tnocs_loss": tnocs_loss,
-                "nfe": out["nfe"],
-                "mean_nll": jnp.mean(out["nll"]) if "nll" in out else 0.0,
-                "tnocs_per_point": (
-                    out["tnocs_loss"] if "tnocs_loss" in out else None
-                ),
+                "cnf_loss": jnp.mean(ms["cnf_loss"]),
+                "tnocs_loss": jnp.mean(ms["tnocs_loss"]),
+                "mean_nll": jnp.mean(ms["mean_nll"]),
+                "nfe": (jnp.sum(ms["nfe"][:, 0]), jnp.sum(ms["nfe"][:, 1])),
+                "tnocs_per_point": None,
                 "new_state": new_state,
             }
-            return loss, aux
+            if "tnocs_pos" in ms:
+                aux["tnocs_scalars"] = (
+                    jnp.mean(ms["tnocs_pos"]), jnp.mean(ms["tnocs_time"])
+                )
 
-        sink0 = {
-            "latent": jnp.zeros((), jnp.float32),
-            "cnf": jnp.zeros((), jnp.float32),
-        }
-        (loss, aux), (grads, nfe_bwd) = jax.value_and_grad(
-            loss_fn, has_aux=True, argnums=(0, 1)
-        )(params, sink0)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = {
@@ -103,6 +185,10 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight):
                 jnp.linalg.norm(sp[..., :3], axis=-1)
             )
             metrics["tnocs_time_err"] = jnp.mean(sp[..., 3])
+        elif "tnocs_scalars" in aux:  # accumulated path pre-reduces
+            metrics["tnocs_pos_err"], metrics["tnocs_time_err"] = aux[
+                "tnocs_scalars"
+            ]
         return new_params, new_opt_state, aux["new_state"], metrics
 
     return jax.jit(step, donate_argnums=(0, 1, 2))

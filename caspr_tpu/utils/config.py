@@ -74,6 +74,11 @@ def get_train_options(parser: argparse.ArgumentParser):
     parser.add_argument("--decay", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0,
                         help="Global PRNG seed (new: JAX uses explicit keys).")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Gradient-accumulation microbatches per "
+                             "optimizer step (batch must divide evenly). "
+                             "Cuts peak activation memory ~N-fold for the "
+                             "same effective batch.")
     parser.add_argument("--ode-backward", type=str, default="adjoint",
                         choices=["adjoint", "discrete"],
                         help="Training gradients through the ODE solves: "

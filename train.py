@@ -163,7 +163,10 @@ def train(flags):
 
     log(log_out, "Num model params: " + str(count_params(params)))
 
-    train_step = make_train_step(model, tx, flags.cnf_loss, flags.tnocs_loss)
+    train_step = make_train_step(
+        model, tx, flags.cnf_loss, flags.tnocs_loss,
+        accum_steps=getattr(flags, 'grad_accum', 1),
+    )
     eval_step = make_eval_step(model, flags.cnf_loss, flags.tnocs_loss)
     loss_tracker = TrainLossTracker()
 
