@@ -369,9 +369,27 @@ class SequenceLoader:
         seed: int = 0,
         num_workers: int = 2,
         pad_last: bool = False,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index``: multi-host data sharding — every
+        process computes the same global epoch order (same seed) and
+        fetches only its ``batch_size/num_shards`` rows of each global
+        batch; jax.make_array_from_process_local_data reassembles the
+        global batch on device (see parallel.mesh.global_batch_points)."""
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
+        if num_shards > 1 and batch_size % num_shards:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {num_shards} shards"
+            )
+        if num_shards > 1 and not (drop_last or pad_last):
+            raise ValueError(
+                "multi-shard loading needs full-size batches: set "
+                "drop_last or pad_last"
+            )
+        if not 0 <= shard_index < max(num_shards, 1):
+            raise ValueError(f"shard_index {shard_index} out of range")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -379,6 +397,8 @@ class SequenceLoader:
         self.pad_last = pad_last
         self.seed = seed
         self.num_workers = max(1, num_workers)
+        self.num_shards = max(num_shards, 1)
+        self.shard_index = shard_index
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -414,6 +434,13 @@ class SequenceLoader:
         if self.pad_last:
             batches = [
                 [b[i % len(b)] for i in range(self.batch_size)] for b in batches
+            ]
+        if self.num_shards > 1:
+            # this process's rows of each (full-size) global batch
+            lbs = self.batch_size // self.num_shards
+            batches = [
+                b[self.shard_index * lbs:(self.shard_index + 1) * lbs]
+                for b in batches
             ]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline: submit next batch while current is consumed

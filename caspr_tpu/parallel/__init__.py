@@ -1,4 +1,5 @@
 from .mesh import (
+    global_batch_points,
     make_mesh,
     replicate,
     shard_batch,

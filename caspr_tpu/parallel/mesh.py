@@ -129,6 +129,23 @@ def shard_batch_points(mesh: Mesh, tree, point_axis: int = 2):
     )
 
 
+def global_batch_points(mesh: Mesh, tree, point_axis: int = 2):
+    """Assemble each process's LOCAL batch rows into the global sharded
+    array (multi-host: every process holds batch_size/process_count rows,
+    see data.SequenceLoader num_shards).  Single-process this places
+    exactly like ``shard_batch_points``."""
+    if jax.process_count() == 1:
+        return shard_batch_points(mesh, tree, point_axis)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            batch_point_sharding(mesh, x.ndim, point_axis), x
+        )
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -22,7 +22,7 @@ import optax
 from jax import lax
 
 from ..models import CaSPRModel
-from ..parallel.mesh import shard_batch_points
+from ..parallel.mesh import global_batch_points
 from .trackers import TestStatTracker, log, print_stats
 
 
@@ -254,8 +254,9 @@ def run_one_epoch(
         x = jnp.asarray(batch["input"])
         target = jnp.asarray(batch["target"])
         if mesh is not None:
-            # batch over the dp axes; point axis over sp when present
-            x, target = shard_batch_points(mesh, (x, target))
+            # batch over the dp axes; point axis over sp when present;
+            # multi-host processes contribute their local loader rows
+            x, target = global_batch_points(mesh, (x, target))
 
         if mode == "train":
             params, opt_state, mbn_state, metrics = step_fn(

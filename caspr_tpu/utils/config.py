@@ -74,6 +74,13 @@ def get_train_options(parser: argparse.ArgumentParser):
     parser.add_argument("--decay", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0,
                         help="Global PRNG seed (new: JAX uses explicit keys).")
+    parser.add_argument("--multihost", dest="multihost", action="store_true",
+                        help="Multi-process (pod) training: calls "
+                             "jax.distributed.initialize() (coordinator "
+                             "from the standard env vars), shards the data "
+                             "loader per process, and builds global batches "
+                             "across hosts. Use with --parallel.")
+    parser.set_defaults(multihost=False)
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Gradient-accumulation microbatches per "
                              "optimizer step (batch must divide evenly). "

@@ -183,3 +183,34 @@ def test_all_dataset_cfgs_resolve():
     # warping_cars has no split dir by design (frac-based splits)
     args = parse_dataset_cfg(os.path.join(cfg_dir, "warping_cars.cfg"))
     assert args.splits is None
+
+
+def test_loader_process_sharding():
+    """Shard loaders (same seed) must partition each global batch: the
+    per-shard rows concatenate to the unsharded loader's batch, and each
+    process fetches only its own rows."""
+    from caspr_tpu.data import DynamicPCLDataset, SequenceLoader
+
+    ds = DynamicPCLDataset(DEMO_CFG, split="test", train_frac=0.0,
+                           val_frac=0.0, num_pts=16, seq_len=2)
+    full = SequenceLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                          seed=3)
+    s0 = SequenceLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                        seed=3, num_shards=2, shard_index=0)
+    s1 = SequenceLoader(ds, batch_size=2, shuffle=True, drop_last=True,
+                        seed=3, num_shards=2, shard_index=1)
+    for epoch in (0, 1):
+        for ld in (full, s0, s1):
+            ld.set_epoch(epoch)
+        for bf, b0, b1 in zip(iter(full), iter(s0), iter(s1)):
+            assert b0["input"].shape[0] == 1 and b1["input"].shape[0] == 1
+            np.testing.assert_array_equal(
+                np.concatenate([b0["input"], b1["input"]]), bf["input"]
+            )
+            assert b0["model_id"] + b1["model_id"] == bf["model_id"]
+
+    with pytest.raises(ValueError):
+        SequenceLoader(ds, batch_size=2, shuffle=True, seed=3,
+                       num_shards=2, shard_index=0)  # needs drop/pad_last
+    with pytest.raises(ValueError):
+        SequenceLoader(ds, batch_size=5, drop_last=True, num_shards=2)

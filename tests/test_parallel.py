@@ -175,3 +175,17 @@ def test_train_step_on_dp_sp_mesh():
         diff = np.abs(np.asarray(a) - np.asarray(b))
         assert (diff <= 3e-4).mean() > 0.995, diff.max()
         assert diff.max() < 2.5e-3  # sign-flipped Adam step on a ~0 grad
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_global_batch_points_single_process_equivalence():
+    """At process_count()==1 the multi-host assembly must place exactly
+    like shard_batch_points (the epoch driver now routes through it)."""
+    from caspr_tpu.parallel import global_batch_points, shard_batch_points
+
+    mesh = make_mesh(jax.devices()[:8], sp_size=2)
+    x = jnp.arange(8 * 2 * 32 * 4, dtype=jnp.float32).reshape(8, 2, 32, 4)
+    a = global_batch_points(mesh, x)
+    b = shard_batch_points(mesh, x)
+    assert a.sharding.is_equivalent_to(b.sharding, x.ndim)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -60,9 +60,19 @@ def parse_args(argv):
 
 
 def train(flags):
+    if getattr(flags, "multihost", False):
+        # coordinator address/process id come from the standard TPU pod
+        # env; must run before any backend/device use
+        jax.distributed.initialize()
     os.makedirs(flags.out, exist_ok=True)
     log_out = os.path.join(flags.out, "train_log.txt")
     log(log_out, flags)
+    if getattr(flags, "multihost", False):
+        log(
+            log_out,
+            f"Multihost: process {jax.process_index()}/"
+            f"{jax.process_count()}",
+        )
 
     train_dataset = DynamicPCLDataset(
         flags.data_cfg,
@@ -84,6 +94,12 @@ def train(flags):
         shift_time_to_zero=(not flags.pretrain_tnocs),
         random_point_sample=False,
     )
+    num_shards = (
+        jax.process_count() if getattr(flags, "multihost", False) else 1
+    )
+    shard_index = (
+        jax.process_index() if getattr(flags, "multihost", False) else 0
+    )
     train_loader = SequenceLoader(
         train_dataset,
         batch_size=flags.batch_size,
@@ -91,6 +107,8 @@ def train(flags):
         drop_last=True,
         seed=flags.seed,
         num_workers=flags.num_workers,
+        num_shards=num_shards,
+        shard_index=shard_index,
     )
     val_loader = SequenceLoader(
         val_dataset,
@@ -99,6 +117,8 @@ def train(flags):
         drop_last=True,
         seed=flags.seed,
         num_workers=flags.num_workers,
+        num_shards=num_shards,
+        shard_index=shard_index,
     )
 
     apply_runtime_flags(flags)
