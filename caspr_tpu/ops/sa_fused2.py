@@ -282,15 +282,28 @@ def sa_scale_factored(sp, xyz, features, new_xyz, gidx, num_groups=16):
     g = gather_points(t, gidx)                     # (B, M, K, d1)
     h = (g - u[:, :, None, :]).reshape(b * m, *g.shape[2:])
     num = len(sp["convs"])
+    # Opt-in (CASPR_TPU_SA_BF16_ACTS=1): store the post-ReLU activations
+    # in bf16.  TPU's default one-pass matmul casts f32 operands to bf16
+    # inside the dot anyway (round-to-nearest-even, identical to astype),
+    # so the next conv computes bit-identical results while the big
+    # (M*K, d) intermediates move half the HBM bytes.  t/u and the GN
+    # inputs stay f32 (their precision is load-bearing — see docstring).
+    import os
+
+    bf16_acts = os.environ.get("CASPR_TPU_SA_BF16_ACTS", "0") == "1"
     for i in range(num):
         if i > 0:
+            w = jnp.transpose(sp["convs"][i]["weight"])
+            if bf16_acts and h.dtype == jnp.bfloat16:
+                w = w.astype(jnp.bfloat16)
             h = jnp.matmul(
-                h, jnp.transpose(sp["convs"][i]["weight"]),
-                preferred_element_type=h.dtype,
+                h, w, preferred_element_type=jnp.float32
             ) + sp["convs"][i]["bias"]
         h = group_norm(sp["norms"][i], h, num_groups)
         if i < num - 1:
             h = jax.nn.relu(h)
+            if bf16_acts:
+                h = h.astype(jnp.bfloat16)
     return jnp.max(h, axis=1).reshape(b, m, -1)
 
 

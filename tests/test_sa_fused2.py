@@ -204,3 +204,21 @@ def test_pointnet2_apply_fused2_vs_xla(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pointnet2_apply(params, cfg, pts))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_sa_factored_bf16_acts_close(monkeypatch):
+    """CASPR_TPU_SA_BF16_ACTS stores post-ReLU activations in bf16.  On
+    TPU the next matmul casts operands to bf16 anyway so results are
+    bit-identical there; on CPU (full-f32 matmuls) this is a real
+    precision change — check it stays within bf16-scale tolerance."""
+    from caspr_tpu.ops.sa_fused2 import sa_scale_factored
+
+    sp, xyz, feats, new_xyz, gidx = _setup()
+    base = np.asarray(
+        sa_scale_factored(sp, xyz, feats, new_xyz, gidx, 16)
+    )
+    monkeypatch.setenv("CASPR_TPU_SA_BF16_ACTS", "1")
+    got = np.asarray(
+        sa_scale_factored(sp, xyz, feats, new_xyz, gidx, 16)
+    )
+    np.testing.assert_allclose(got, base, rtol=0.06, atol=0.02)
