@@ -47,8 +47,31 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32, bias: bool = 
 
 
 def linear(params, x):
-    """y = x @ W^T (+ b) over the last axis. x: (..., in) -> (..., out)."""
-    y = jnp.matmul(x, params["weight"].T, preferred_element_type=x.dtype)
+    """y = x @ W^T (+ b) over the last axis. x: (..., in) -> (..., out).
+
+    CASPR_TPU_MATMUL_CAST=1 (opt-in, only under the default matmul
+    precision) casts the operands to bf16 explicitly: TPU's default
+    one-pass matmul converts f32 operands to bf16 inside the dot anyway
+    (round-to-nearest-even, same as astype), so results are
+    bit-identical there while the cast fuses into the producer and the
+    operands move half the HBM bytes.  Respects --matmul-precision:
+    high/highest disable it.
+    """
+    import os
+
+    w = params["weight"].T
+    if (
+        os.environ.get("CASPR_TPU_MATMUL_CAST", "0") == "1"
+        and x.dtype == jnp.float32
+        and jax.config.jax_default_matmul_precision in (None, "default")
+    ):
+        y = jnp.matmul(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = jnp.matmul(x, w, preferred_element_type=x.dtype)
     if "bias" in params:
         y = y + params["bias"]
     return y
