@@ -436,8 +436,14 @@ class SequenceLoader:
                 [b[i % len(b)] for i in range(self.batch_size)] for b in batches
             ]
         if self.num_shards > 1:
-            # this process's rows of each (full-size) global batch
+            # this process's rows of each (full-size) global batch.
+            # pad_last padding occupies the global tail, so this shard's
+            # real-row count is the clipped remainder of the global one
             lbs = self.batch_size // self.num_shards
+            local_valids = [
+                min(max(v - self.shard_index * lbs, 0), lbs)
+                for v in valid_counts
+            ]
             batches = [
                 b[self.shard_index * lbs:(self.shard_index + 1) * lbs]
                 for b in batches
@@ -460,7 +466,13 @@ class SequenceLoader:
                     "seq_id": [it["seq_id"] for it in items],
                 }
                 if self.pad_last:
-                    batch["valid"] = valid_counts[bi]
+                    if self.num_shards > 1:
+                        # local masking contract + the global count for
+                        # consumers that gather the full batch
+                        batch["valid"] = local_valids[bi]
+                        batch["valid_global"] = valid_counts[bi]
+                    else:
+                        batch["valid"] = valid_counts[bi]
                 if "pose" in items[0]:
                     batch["pose"] = np.stack([it["pose"] for it in items])
                 yield batch

@@ -60,8 +60,18 @@ def linear(params, x):
     import os
 
     w = params["weight"].T
+    mode = os.environ.get("CASPR_TPU_MATMUL_CAST", "0")
+    if mode == "1":
+        # TPU-class backends only: CPU/GPU default matmuls are full f32,
+        # where the cast would be a real precision loss (same guard as
+        # the CNF kernel's explicit-cast mode, models/cnf.py)
+        try:
+            if jax.default_backend() in ("cpu", "gpu"):
+                mode = "0"
+        except RuntimeError:
+            mode = "0"
     if (
-        os.environ.get("CASPR_TPU_MATMUL_CAST", "0") == "1"
+        mode in ("1", "force")
         and x.dtype == jnp.float32
         and jax.config.jax_default_matmul_precision in (None, "default")
     ):

@@ -290,7 +290,14 @@ def sa_scale_factored(sp, xyz, features, new_xyz, gidx, num_groups=16):
     # inputs stay f32 (their precision is load-bearing — see docstring).
     import os
 
-    bf16_acts = os.environ.get("CASPR_TPU_SA_BF16_ACTS", "0") == "1"
+    mode = os.environ.get("CASPR_TPU_SA_BF16_ACTS", "0")
+    if mode == "1":  # TPU-class backends only (CPU/GPU matmuls are f32)
+        try:
+            if jax.default_backend() in ("cpu", "gpu"):
+                mode = "0"
+        except RuntimeError:
+            mode = "0"
+    bf16_acts = mode in ("1", "force")
     for i in range(num):
         if i > 0:
             w = jnp.transpose(sp["convs"][i]["weight"])

@@ -26,6 +26,17 @@ from ..parallel.mesh import global_batch_points
 from .trackers import TestStatTracker, log, print_stats
 
 
+def _fetch(x):
+    """Host-fetch an array that may span non-addressable devices
+    (multihost): all-gather it across processes first.  Single-process
+    this is a plain np.asarray."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def make_optimizer(lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0):
     """torch.optim.Adam equivalent (reference caspr/train.py:135-136)."""
     chain = []
@@ -251,12 +262,16 @@ def run_one_epoch(
     batch_losses = []
     for i, batch in enumerate(loader):
         key, sub = jax.random.split(key)
-        x = jnp.asarray(batch["input"])
-        target = jnp.asarray(batch["target"])
         if mesh is not None:
             # batch over the dp axes; point axis over sp when present;
             # multi-host processes contribute their local loader rows
-            x, target = global_batch_points(mesh, (x, target))
+            # (numpy goes straight to the device — no default-device stop)
+            x, target = global_batch_points(
+                mesh, (batch["input"], batch["target"])
+            )
+        else:
+            x = jnp.asarray(batch["input"])
+            target = jnp.asarray(batch["target"])
 
         if mode == "train":
             params, opt_state, mbn_state, metrics = step_fn(
@@ -288,13 +303,15 @@ def run_one_epoch(
             # loader padding (batch['valid'] < B): mask padded rows out of
             # every statistic; mean of per-item losses over the valid rows
             # equals the unpadded batch loss
-            valid = batch.get("valid", x.shape[0])
+            # statistics run over the (gathered) GLOBAL batch; sharded
+            # loaders report the global real-row count separately
+            valid = batch.get("valid_global", batch.get("valid", x.shape[0]))
             loss_tracker.record_stats(
-                float(np.mean(np.asarray(metrics["loss_per_item"])[:valid])),
-                np.asarray(metrics["nll"])[:valid],
-                np.asarray(metrics["tnocs_pos_err"])[:valid].reshape(-1),
-                np.asarray(metrics["tnocs_time_err"])[:valid].reshape(-1),
-                np.asarray(metrics["nfe"]),
+                float(np.mean(_fetch(metrics["loss_per_item"])[:valid])),
+                _fetch(metrics["nll"])[:valid],
+                _fetch(metrics["tnocs_pos_err"])[:valid].reshape(-1),
+                _fetch(metrics["tnocs_time_err"])[:valid].reshape(-1),
+                _fetch(metrics["nfe"]),
             )
             if i % print_stats_every == 0:
                 means = loss_tracker.get_mean_stats()

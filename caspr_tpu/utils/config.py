@@ -176,8 +176,10 @@ def apply_runtime_flags(flags):
 
     if getattr(flags, "matmul_precision", "default") != "default":
         jax.config.update("jax_default_matmul_precision", flags.matmul_precision)
-    if getattr(flags, "ode_backward", "adjoint") != "adjoint":
-        # the solver dispatch reads this at trace time (ops/odeint.py)
+    if hasattr(flags, "ode_backward"):
+        # the solver dispatch reads this at trace time (ops/odeint.py);
+        # set unconditionally so an explicit --ode-backward adjoint also
+        # overrides an inherited CASPR_TPU_ODE_BWD env
         os.environ["CASPR_TPU_ODE_BWD"] = flags.ode_backward
 
 

@@ -217,7 +217,7 @@ def test_sa_factored_bf16_acts_close(monkeypatch):
     base = np.asarray(
         sa_scale_factored(sp, xyz, feats, new_xyz, gidx, 16)
     )
-    monkeypatch.setenv("CASPR_TPU_SA_BF16_ACTS", "1")
+    monkeypatch.setenv("CASPR_TPU_SA_BF16_ACTS", "force")
     got = np.asarray(
         sa_scale_factored(sp, xyz, feats, new_xyz, gidx, 16)
     )

@@ -36,7 +36,8 @@ run 12 ballquery 2400 python -u tools/ab_ballquery.py
 run 13 export_check 2400 python -u tools/export_model.py --out /tmp/exported_hw --batch 1 --steps 3 --points 256 --loose-platform-check --check
 run 14 pn2_blk   2400 env CASPR_TPU_GATHER=blk python -u tools/ab_pointnet2.py
 run 15 pn2_bf16acts 2400 env CASPR_TPU_SA_BF16_ACTS=1 python -u tools/ab_pointnet2.py
-run 16 bench_matmul_cast 2400 env CASPR_TPU_MATMUL_CAST=1 CASPR_TPU_SA_BF16_ACTS=1 python -u bench.py
+run 16 bench_matmul_cast 2400 env CASPR_TPU_MATMUL_CAST=1 python -u bench.py
+run 17 bench_bf16_combo 2400 env CASPR_TPU_MATMUL_CAST=1 CASPR_TPU_SA_BF16_ACTS=1 python -u bench.py
 {
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80

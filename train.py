@@ -60,14 +60,27 @@ def parse_args(argv):
 
 
 def train(flags):
-    if getattr(flags, "multihost", False):
+    multihost = getattr(flags, "multihost", False)
+    if multihost:
+        if not flags.use_parallel:
+            # sharded loaders without the mesh would train N divergent
+            # models with no gradient sync — refuse early
+            raise ValueError("--multihost requires --parallel")
         # coordinator address/process id come from the standard TPU pod
         # env; must run before any backend/device use
         jax.distributed.initialize()
     os.makedirs(flags.out, exist_ok=True)
-    log_out = os.path.join(flags.out, "train_log.txt")
+    # non-zero processes log to their own file and never write shared
+    # artifacts (checkpoints/curves) — concurrent writers would corrupt
+    # them on shared storage
+    is_lead = (not multihost) or jax.process_index() == 0
+    log_name = (
+        "train_log.txt" if is_lead
+        else f"rank{jax.process_index()}_train_log.txt"
+    )
+    log_out = os.path.join(flags.out, log_name)
     log(log_out, flags)
-    if getattr(flags, "multihost", False):
+    if multihost:
         log(
             log_out,
             f"Multihost: process {jax.process_index()}/"
@@ -236,7 +249,7 @@ def train(flags):
                     log_out, epoch, 0, 0, total_loss, cnf_err, pos_err,
                     time_err, "VAL", nfe
                 )
-                if best:
+                if best and is_lead:
                     log(log_out, "BEST Val loss so far! Saving checkpoint...")
                     save_checkpoint(
                         os.path.join(flags.out, "BEST_time_model.pkl"),
@@ -245,9 +258,10 @@ def train(flags):
                         opt_state,
                         epoch,
                     )
-            loss_tracker.plot_cur_loss_curves(flags.out)
+            if is_lead:
+                loss_tracker.plot_cur_loss_curves(flags.out)
 
-        if epoch % flags.save_every == 0:
+        if epoch % flags.save_every == 0 and is_lead:
             save_checkpoint(
                 os.path.join(flags.out, "time_model_%d.pkl" % epoch),
                 params,
