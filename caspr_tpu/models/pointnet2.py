@@ -217,21 +217,59 @@ def _sa_impl(cfg, sp, xyz, new_xyz, k) -> str:
     return "xla"
 
 
+def _hier_fps() -> bool:
+    """CASPR_TPU_FPS=hier (default) collapses the SA cascade's five FPS
+    runs into one via the prefix property; =level runs FPS per level like
+    the reference CUDA kernel (for A/B and tie-sensitivity checks)."""
+    import os
+
+    mode = os.environ.get("CASPR_TPU_FPS", "hier")
+    if mode not in ("hier", "level"):
+        raise ValueError(
+            f"CASPR_TPU_FPS={mode!r}: expected 'hier' or 'level'"
+        )
+    return mode == "hier"
+
+
 def pointnet2_apply(params, cfg: PointNet2Config, points):
     """points: (B, N, 3 + in_features) -> per-point features (B, N, num_classes).
 
     Mirrors reference PointNet2feat.forward (pointnet2.py:217-249):
     SA cascade downsampling 1024->...->16, then FP cascade interpolating
     back up with skip connections, then the final conv head.
+
+    FPS prefix collapse: greedy farthest-point sampling has the prefix
+    property — at step i the selected point maximizes the min-distance
+    over ALL remaining points, so it also maximizes over any subset that
+    contains it; hence FPS run on the first-m points of an FPS ordering
+    (same start point, index 0, as the reference CUDA kernel at
+    reference caspr/models/pointnet2.py:384) reproduces that ordering's
+    next prefix exactly (up to distance ties, the same caveat as any
+    f32 FPS).  Each SA level's input IS the previous level's
+    FPS-ordered gather, so once one real FPS has run, every later
+    level's sample is a free slice instead of an O(M)-sequential-step
+    kernel: 1872 -> 1024 dependent iterations at the 2048-point eval
+    protocol, 848 -> 512 at the 1024-point train resolution (where the
+    first level's M == N identity shortcut is NOT an FPS ordering and
+    the second level still runs the real kernel).
     """
     xyz = points[..., :3]
     features = points[..., 3:] if points.shape[-1] > 3 else None
 
     xyz_list = [xyz]
     feat_list = [features]
+    fps_ordered = False  # is `xyz` currently in FPS selection order?
     for lvl, lvl_params in zip(cfg.sa_levels(), params["set_abstractions"]):
-        idx = farthest_point_sampling(xyz, lvl.num_points_out)
-        new_xyz = gather_points(xyz, idx)
+        m, n = lvl.num_points_out, xyz.shape[1]
+        if fps_ordered and m <= n and _hier_fps():
+            new_xyz = xyz[:, :m]
+        else:
+            idx = farthest_point_sampling(xyz, m)
+            new_xyz = gather_points(xyz, idx)
+            if m < n:
+                fps_ordered = True  # gather order = FPS selection order
+            elif m > n:
+                fps_ordered = False  # repeat-padded: ordering broken
         scale_feats = []
         for (radius, k, dims), sp in zip(lvl.scales, lvl_params["scales"]):
             gidx = ball_query(xyz, new_xyz, radius, k)

@@ -69,6 +69,24 @@ def test_pointnet2_shapes():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.parametrize("n_points", [32, 16])
+def test_pointnet2_hier_fps_matches_per_level(monkeypatch, n_points):
+    """Hierarchical FPS collapse (default) must reproduce the per-level
+    FPS cascade exactly on tie-free data.  n_points=16 exercises the
+    train-resolution case where the first level's M == N identity
+    shortcut is NOT an FPS ordering and the flag must keep the second
+    level on the real kernel."""
+    cfg = PointNet2Config(sa_points=TINY_SA, ball_samples=TINY_BALLS)
+    p = pointnet2_init(KEY, cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(3), (2, n_points, 9)) * 0.3
+
+    monkeypatch.setenv("CASPR_TPU_FPS", "level")
+    want = np.asarray(pointnet2_apply(p, cfg, pts))
+    monkeypatch.setenv("CASPR_TPU_FPS", "hier")
+    got = np.asarray(pointnet2_apply(p, cfg, pts))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_tpointnet2_shapes_and_range():
     cfg = TPointNet2Config(sa_points=TINY_SA, ball_samples=TINY_BALLS)
     p = tpointnet2_init(KEY, cfg)

@@ -71,6 +71,18 @@ def test_fps_identity_when_m_equals_n():
     assert sorted(idx.tolist()) == list(range(16))
 
 
+def test_fps_prefix_property(clouds):
+    """FPS on an FPS-ordered gather (same start, index 0) reproduces the
+    ordering's prefix — the invariant behind the SA cascade's hierarchical
+    FPS collapse (models/pointnet2.py::pointnet2_apply)."""
+    x = jnp.asarray(clouds)
+    order = farthest_point_sampling(x, 32)
+    sub = gather_points(x, order)  # (B, 32, 3) in FPS selection order
+    got = np.asarray(farthest_point_sampling(sub, 16))
+    for b in range(clouds.shape[0]):
+        np.testing.assert_array_equal(got[b], np.arange(16))
+
+
 def test_gather_points(clouds):
     idx = np.array([[0, 5, 9], [1, 1, 63]], np.int32)
     got = np.asarray(gather_points(jnp.asarray(clouds), jnp.asarray(idx)))
