@@ -244,8 +244,11 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
     contains it; hence FPS run on the first-m points of an FPS ordering
     (same start point, index 0, as the reference CUDA kernel at
     reference caspr/models/pointnet2.py:384) reproduces that ordering's
-    next prefix exactly (up to distance ties, the same caveat as any
-    f32 FPS).  Each SA level's input IS the previous level's
+    next prefix exactly.  Distance ties (duplicate points from
+    repeat-padding) are also exact: the subset's lowest-index tie-break
+    selects the lane with the lowest FPS-ordering position, which is
+    the point the full run picked at that step (tested on duplicated
+    clouds).  Each SA level's input IS the previous level's
     FPS-ordered gather, so once one real FPS has run, every later
     level's sample is a free slice instead of an O(M)-sequential-step
     kernel: 1872 -> 1024 dependent iterations at the 2048-point eval

@@ -83,6 +83,21 @@ def test_fps_prefix_property(clouds):
         np.testing.assert_array_equal(got[b], np.arange(16))
 
 
+def test_fps_prefix_property_with_duplicates(clouds):
+    """The prefix property survives exact distance ties (repeat-padded
+    clouds duplicate points — the data pipeline's pad mode): at any step
+    the subset's lowest-index tie-break selects the lane with the lowest
+    FPS-ordering position, which is exactly the point the full-cloud run
+    picked at that step."""
+    base = clouds[:, :48]
+    x = jnp.asarray(np.concatenate([base, base[:, :16]], axis=1))  # 16 dups
+    order = farthest_point_sampling(x, 32)
+    sub = gather_points(x, order)
+    got = np.asarray(farthest_point_sampling(sub, 16))
+    for b in range(x.shape[0]):
+        np.testing.assert_array_equal(got[b], np.arange(16))
+
+
 def test_gather_points(clouds):
     idx = np.array([[0, 5, 9], [1, 1, 63]], np.int32)
     got = np.asarray(gather_points(jnp.asarray(clouds), jnp.asarray(idx)))
