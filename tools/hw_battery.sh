@@ -39,6 +39,8 @@ run 15 pn2_bf16acts 2400 env CASPR_TPU_SA_BF16_ACTS=1 python -u tools/ab_pointne
 run 16 bench_matmul_cast 2400 env CASPR_TPU_MATMUL_CAST=1 python -u bench.py
 run 17 bench_bf16_combo 2400 env CASPR_TPU_MATMUL_CAST=1 CASPR_TPU_SA_BF16_ACTS=1 python -u bench.py
 run 18 pn2_fps_level 2400 env CASPR_TPU_FPS=level python -u tools/ab_pointnet2.py
+run 19 cnf_tile512  2400 env BT=160 CASPR_TPU_CNF_TILE=512 python -u tools/bench_cnf.py
+run 20 cnf_tile2048 2400 env BT=160 CASPR_TPU_CNF_TILE=2048 python -u tools/bench_cnf.py
 {
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80
