@@ -279,6 +279,13 @@ def _gather_split_kernel(n, c, tile, tpack_ref, idx_ref, out_ref):
     pass: each product is 1.0 * component with f32 accumulation.  The
     [I;I;I] fold matmul is exact too — the gathered components are
     bf16-representable and their f32 sum reconstructs the mantissa.
+    Order-robustness of that 3-term sum: (hi+mid) and (mid+lo) partial
+    sums span <= 18 mantissa bits (exact in f32) and the total is the
+    original f32; the only inexact pairing would be hi+lo WITHOUT mid
+    (spans up to 26 bits), and it cannot occur under any sequential or
+    contiguous-tree accumulation over the contraction axis because
+    mid's lane k+C lies strictly between hi's k and lo's k+2C — any
+    contiguous range holding both endpoints holds mid.
     Replaces the 6-pass HIGHEST-precision orientation of _gather_kernel,
     whose (C, rows) output additionally paid a relayout copy at every
     call site (measured ~115 ms/iter of the 350 ms pointnet2 backbone
