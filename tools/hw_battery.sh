@@ -18,6 +18,8 @@ run() {  # run <num> <name> <timeout> <cmd...>
   timeout "$tmo" "$@" >"/tmp/battery/${num}_${name}.log" 2>&1
   echo "rc=$? -> /tmp/battery/${num}_${name}.log"
   tail -25 "/tmp/battery/${num}_${name}.log"
+  mkdir -p artifacts/battery_r3   # persist per-stage (survives round end)
+  cp "/tmp/battery/${num}_${name}.log" artifacts/battery_r3/ 2>/dev/null
 }
 
 run 0 sanity     120  python -u -c "import jax; print(jax.devices())"
@@ -45,4 +47,8 @@ run 20 cnf_tile2048 2400 env BT=160 CASPR_TPU_CNF_TILE=2048 python -u tools/benc
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms\b" /tmp/battery/*.log 2>/dev/null | head -80
 } > /tmp/battery/SUMMARY.txt
-echo "=== battery done ($(date +%H:%M:%S)) — see /tmp/battery/SUMMARY.txt ==="
+# Persist into the repo so the numbers survive a round-end auto-commit
+# even if nobody is around to transcribe them into BENCHMARKS.md.
+mkdir -p artifacts/battery_r3
+cp /tmp/battery/*.log /tmp/battery/SUMMARY.txt artifacts/battery_r3/ 2>/dev/null
+echo "=== battery done ($(date +%H:%M:%S)) — see /tmp/battery/SUMMARY.txt (copied to artifacts/battery_r3/) ==="
