@@ -419,17 +419,23 @@ def odeint_discrete(
 
     # Truncation is silent data corruption if unsurfaced: flag it at
     # runtime (works under jit; ~free when not exhausted).
-    def _warn(_):
-        jax.debug.print(
-            "WARNING: odeint_discrete hit its {n}-attempted-step bound "
-            "before filling every request time; outputs past the bound "
-            "hold the final integrator state. Raise CASPR_TPU_ODE_STEPS "
-            "or num_steps.",
-            n=num_steps,
-        )
-        return 0
+    # CASPR_TPU_ODE_WARN=0 removes the debug callback from the trace —
+    # needed when CROSS-lowering this program for another platform
+    # (jax.export / tools/lowering_smoke.py), where callback lowering
+    # rejects the backend/platform mismatch; native lowering is fine.
+    if os.environ.get("CASPR_TPU_ODE_WARN", "1") != "0":
 
-    lax.cond(exhausted, _warn, lambda _: 0, 0)
+        def _warn(_):
+            jax.debug.print(
+                "WARNING: odeint_discrete hit its {n}-attempted-step bound "
+                "before filling every request time; outputs past the bound "
+                "hold the final integrator state. Raise CASPR_TPU_ODE_STEPS "
+                "or num_steps.",
+                n=num_steps,
+            )
+            return 0
+
+        lax.cond(exhausted, _warn, lambda _: 0, 0)
     return outs, nfe
 
 

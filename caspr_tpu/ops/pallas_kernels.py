@@ -546,7 +546,7 @@ def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
     b = pl.program_id(0)
 
     def row_dma(r, slot):
-        i = idx_ref[0, r]
+        i = idx_ref[0, 0, r]
         return pltpu.make_async_copy(
             src_ref.at[b, pl.ds(i, 1), :],
             out_ref.at[0, pl.ds(r, 1), :],
@@ -592,7 +592,11 @@ def _gather_rows_dma_call(src, idx, interpret=False):
         kernel,
         grid=(b, r_pad // tile),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i, j: (i, j),
+            # (b, 1, r_pad) with a (1, 1, tile) block: the Mosaic
+            # lowering requires the last-two block dims be (8k, 128m)
+            # or EQUAL to the array dims — a (1, tile) block over
+            # (b, r_pad) is rejected, a unit middle axis satisfies it.
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -601,7 +605,7 @@ def _gather_rows_dma_call(src, idx, interpret=False):
         out_shape=jax.ShapeDtypeStruct((b, r_pad, c), src.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((nsem,))],
         interpret=interpret,
-    )(idx, src)
+    )(idx[:, None, :], src)
     return out[:, :r]
 
 

@@ -1,0 +1,140 @@
+"""Cross-lower the TPU kernel configurations on the CPU host to catch
+Pallas->Mosaic lowering rejections BEFORE hardware is available.
+
+jax.export runs the full jax lowering pipeline for the target platform
+(including every pallas_call's Mosaic-dialect lowering) without needing
+the target backend, so a config that fails here would fail at compile
+time on the TPU too.  It does NOT run the Mosaic->binary compile, so a
+pass here is necessary-not-sufficient — late Mosaic pipeline errors
+(VMEM overflow, register pressure, some shape legality checks) still
+need the hardware battery.  Still, during the r3 tunnel outage this is
+the strongest available pre-hardware gate for the unmeasured kernels
+and opt-ins (split/dma/blk gathers, fused-d2, Pallas interp, discrete
+backward, CNF tiles, bf16 modes).
+
+Each case builds fresh jitted functions (kernel dispatch reads env at
+trace time).  Shapes are the real ones: reconstruct at the 10x2048
+bench protocol (B=16), encode at N=2048, train step at the reference
+recipe (B5 T5 N1024).
+
+Env: CASES=name1,name2 restricts to named cases; default runs all.
+"""
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# CPU host (the sitecustomize force-selects the remote axon TPU).
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+from jax import export as jexp
+
+# (name, env overrides, program)
+CASES = [
+    # the unmeasured r3 DEFAULTS at the bench protocol + train recipe
+    ("defaults_recon", {}, "recon"),
+    ("defaults_encode", {}, "encode"),
+    ("defaults_train_adjoint", {}, "train"),
+    # opt-ins awaiting the battery
+    # ODE_WARN=0: the exhaustion warning is a debug callback, which
+    # cannot CROSS-lower (backend cpu vs platform tpu mismatch); on the
+    # real TPU backend it lowers natively and stays enabled.
+    ("train_discrete",
+     {"CASPR_TPU_ODE_BWD": "discrete", "CASPR_TPU_ODE_WARN": "0"}, "train"),
+    ("train_cnf_bwd_pallas", {"CASPR_TPU_CNF_BWD": "pallas"}, "train"),
+    ("gather_dma", {"CASPR_TPU_GATHER": "dma"}, "encode"),
+    ("gather_dma_allc", {"CASPR_TPU_GATHER_DMA_ALLC": "1"}, "encode"),
+    ("gather_blk", {"CASPR_TPU_GATHER": "blk"}, "encode"),
+    ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
+    ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
+    ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),
+    ("cnf_tile512", {"CASPR_TPU_CNF_TILE": "512"}, "recon"),
+    ("cnf_tile2048", {"CASPR_TPU_CNF_TILE": "2048"}, "recon"),
+    ("fps_level", {"CASPR_TPU_FPS": "level"}, "encode"),
+    ("fused_sa2", {"CASPR_TPU_SA": "fused2"}, "encode"),
+    ("interp_dense", {"CASPR_TPU_INTERP": "dense"}, "encode"),
+]
+
+_BASE_ENV = {
+    "CASPR_TPU_KERNELS": "pallas",  # dispatch reads env at trace time
+}
+
+
+def _lower(fn, args, name):
+    exp = jexp.export(jax.jit(fn), platforms=("tpu",))(*args)
+    n_calls = exp.mlir_module().count("tpu_custom_call")
+    print(f"  ok: {name} lowered for tpu ({n_calls} tpu_custom_call sites)",
+          flush=True)
+
+
+def run_case(name, env, program):
+    from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
+
+    print(f"=== {name} ({program}) env={env}", flush=True)
+    old = {}
+    for k, v in {**_BASE_ENV, **env}.items():
+        old[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        cfg = CaSPRConfig()  # full reference dims
+        model = CaSPRModel(cfg)
+        key = jax.random.PRNGKey(0)
+        params, state = caspr_init(key, cfg)
+        if program == "encode":
+            x = jnp.zeros((2, 10, 2048, 4), jnp.float32)
+            _lower(lambda p, xx: model.encode(p, xx), (params, x), name)
+        elif program == "recon":
+            observed = jnp.zeros((16, 10, 2048, 4), jnp.float32)
+            ts = jnp.linspace(0.0, 1.0, 10)
+
+            def recon(p, s, obs, t, k):
+                _, _, pred, _, nfe = model.reconstruct(
+                    p, s, obs, k, num_points=2048, timestamps=t,
+                    constant_in_time=False)
+                return pred, nfe
+
+            _lower(recon, (params, state, observed, ts, key), name)
+        elif program == "train":
+            from caspr_tpu.train.loop import make_optimizer, make_train_step
+
+            tx = make_optimizer(1e-4)
+            opt_state = tx.init(params)
+            b, t, n = 5, 5, 1024
+            x = jnp.zeros((b, t, n, 4), jnp.float32)
+            tgt = jnp.zeros((b, t, n, 4), jnp.float32)
+            step = make_train_step(model, tx, cnf_loss_weight=0.01,
+                                   tnocs_loss_weight=100.0)
+            _lower(step, (params, opt_state, state, x, tgt, key), name)
+        return True
+    except Exception:
+        print(f"  FAIL: {name}", flush=True)
+        traceback.print_exc()
+        return False
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def main():
+    only = os.environ.get("CASES", "")
+    sel = [c for c in CASES if not only or c[0] in only.split(",")]
+    results = {}
+    for name, env, program in sel:
+        results[name] = run_case(name, env, program)
+    print("\n== lowering smoke summary ==")
+    for name, ok in results.items():
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}")
+    if not all(results.values()):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
