@@ -109,13 +109,14 @@ def model_flops_per_seq(nfe_cnf: float, nfe_ode: float) -> float:
 V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 
 
-# Progressive kernel-preset fallback: the r3 kernel defaults (split
-# gather / fused-d2 / Pallas interp) were committed during a TPU-tunnel
-# outage with interpret-mode verification only.  If a Mosaic compile
-# rejects one on real hardware, the bench must still produce its JSON
+# Progressive kernel-preset fallback: if a Mosaic compile rejects a
+# default kernel on real hardware, the bench must still produce its JSON
 # line — each failure re-execs with the next (previously proven) preset.
+# r4-defaults = the r3 set with hardware-reconciled numerics (mask-based
+# bf16 splits, HIGHEST d2, CNF tile 512), every default validated by
+# tools/hw_exactness.py on the device.
 PRESETS = [
-    ("r3-defaults", {}),
+    ("r4-defaults", {}),
     ("r2-proven", {
         "CASPR_TPU_GATHER": "onehot",
         "CASPR_TPU_FUSED_D2": "0",
@@ -125,7 +126,7 @@ PRESETS = [
 ]
 
 
-def main(preset: str = "r3-defaults"):
+def main(preset: str = "r4-defaults"):
     # test hooks for the fallback chain (no device work): FAIL_BELOW
     # makes earlier presets raise, SMOKE prints a stub record
     try:
@@ -203,17 +204,23 @@ def main(preset: str = "r3-defaults"):
         "nfe_cnf": round(nfe_cnf, 1),
         "kernel_preset": preset,
     }
-    if os.environ.get("CASPR_BENCH_TRAIN", "0") == "1":
-        record["train_step_ms"] = round(measure_train_step(), 1)
+    if os.environ.get("CASPR_BENCH_TRAIN", "1") == "1":
+        # The reference's defining cost is TRAINING (~5 days on 4 GPUs,
+        # reference README.md:144) — the driver artifact carries the
+        # train-step measurement alongside reconstruct throughput.
+        # CASPR_BENCH_TRAIN=0 opts out (e.g. on a cold compile cache,
+        # where the extra jit costs a 10-25 min single-core compile).
+        ms = measure_train_step()
+        record["train_step_ms"] = round(ms, 1)
+        record["train_seqs_per_sec"] = round(5 * 1e3 / ms, 2)
     print(json.dumps(record))
 
 
 def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
     """Full train step (fwd + continuous-adjoint bwd + Adam) at the
     reference full-pipeline recipe shapes (reference README.md:127-136).
-    Opt-in via CASPR_BENCH_TRAIN=1 — the extra jit is a 10-25 min cold
-    compile on this 1-core host, too slow for the default driver run;
-    measured numbers live in BENCHMARKS.md."""
+    Default-on in the bench JSON (CASPR_BENCH_TRAIN=0 opts out on a cold
+    compile cache); measured history lives in BENCHMARKS.md."""
     import numpy as np
 
     from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init

@@ -162,10 +162,12 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
         ep = jnp.pad(ep, ((0, 0), (0, 0), (0, n_pad - n)))
 
     # Validated tile override: non-integer / non-positive values fall back
-    # to the 1024 default with a warning; anything else is rounded down to
+    # to the 512 default with a warning; anything else is rounded down to
     # a power of two in [128, 4096] so the halving loop below can never
     # collapse to a 1-lane grid (128 always divides the lane-padded n_pad).
-    raw = os.environ.get("CASPR_TPU_CNF_TILE", "1024")
+    # Default 512 per the r3 hardware battery (6.39 vs 6.47 ms/NFE at
+    # BT=160 for tile 1024; tile 2048 exceeds the 16 MB scoped VMEM).
+    raw = os.environ.get("CASPR_TPU_CNF_TILE", "512")
     try:
         req = int(raw)
     except ValueError:
@@ -175,9 +177,9 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
 
         warnings.warn(
             f"CASPR_TPU_CNF_TILE={raw!r} is not a positive integer; "
-            "using 1024"
+            "using 512"
         )
-        req = 1024
+        req = 512
     req = 1 << max(7, min(12, req.bit_length() - 1))
     r = min(req, n_pad)
     while n_pad % r:

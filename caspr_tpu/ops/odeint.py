@@ -417,26 +417,24 @@ def odeint_discrete(
         wrapped, y0, ts, rtol, atol, num_steps
     )
 
-    # Truncation is silent data corruption if unsurfaced: flag it at
-    # runtime (works under jit; ~free when not exhausted).
-    # CASPR_TPU_ODE_WARN=0 removes the debug callback from the trace —
-    # needed when CROSS-lowering this program for another platform
-    # (jax.export / tools/lowering_smoke.py), where callback lowering
-    # rejects the backend/platform mismatch; native lowering is fine.
-    if os.environ.get("CASPR_TPU_ODE_WARN", "1") != "0":
+    # Truncation is silent data corruption if unsurfaced.  A
+    # jax.debug.print here (the r3 mechanism) is a HOST CALLBACK, which
+    # the axon TPU backend rejects at runtime (UNIMPLEMENTED: host
+    # send/recv, r3 battery stage 9) and which cannot cross-lower for
+    # jax.export — so the flag rides the returned NFE count instead, as
+    # a +0.5 fractional marker on an otherwise integer-valued scalar
+    # (pure device arithmetic, every backend, jit/export-safe).  Host
+    # code that logs NFE surfaces it via nfe_exhausted(); see
+    # train/loop.py.
+    return outs, nfe + 0.5 * exhausted.astype(jnp.float32)
 
-        def _warn(_):
-            jax.debug.print(
-                "WARNING: odeint_discrete hit its {n}-attempted-step bound "
-                "before filling every request time; outputs past the bound "
-                "hold the final integrator state. Raise CASPR_TPU_ODE_STEPS "
-                "or num_steps.",
-                n=num_steps,
-            )
-            return 0
 
-        lax.cond(exhausted, _warn, lambda _: 0, 0)
-    return outs, nfe
+def nfe_exhausted(nfe) -> bool:
+    """True if an ``odeint_discrete`` NFE count carries the step-bound
+    exhaustion marker (host-side companion of the +0.5 flag)."""
+    import numpy as _np
+
+    return bool(_np.asarray(nfe) % 1.0 != 0.0)
 
 
 def odeint_adjoint(

@@ -31,6 +31,62 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def bf16_trunc(x):
+    """Truncate an f32 array's mantissa to bf16 width WITHOUT a dtype cast.
+
+    Equivalent to a round-toward-zero f32->bf16->f32 round-trip, expressed
+    as a bit mask so the compiler cannot elide it.  This backend forces
+    ``--xla_allow_excess_precision=true``, which licenses XLA to drop a
+    literal f32->bf16->f32 pair ("keep the excess precision") — that
+    silently zeroed the mid/lo components of every cast-based split table
+    on hardware (r3 battery: split gather WRONG at every shape while
+    CPU/interpret tests passed).  Bit ops have no excess-precision rewrite.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def split3_bf16(t):
+    """Exact 3-way bf16 split: hi + mid + lo == t bit-exactly.
+
+    Truncating (not rounding) splits give each component exactly 8 of
+    f32's 24 mantissa bits, so every component is bf16-representable and
+    every PARTIAL SUM is exactly representable in f32 (any pair spans
+    <= 24 bits) — the fold matmul's f32 accumulation reconstructs t
+    under ANY association order, a stronger guarantee than the previous
+    round-to-nearest 8+9+7 scheme needed case analysis for.
+    """
+    hi = bf16_trunc(t)
+    r1 = t - hi
+    mid = bf16_trunc(r1)
+    lo = r1 - mid
+    return (hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+            lo.astype(jnp.bfloat16))
+
+
+def split2_bf16(t):
+    """2-way bf16 split: hi + lo == t to ~16 mantissa bits (lo's bf16
+    rounding leaves an O(2^-17) relative error — call sites document
+    where that term lands)."""
+    hi = bf16_trunc(t)
+    lo = t - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _interpret_forced() -> bool:
+    """True under pltpu.force_tpu_interpret_mode (kernels execute on the
+    CPU interpreter, so hardware-only constraints don't apply)."""
+    try:
+        from jax._src import config as _jcfg
+
+        return (
+            _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None
+        )
+    except Exception:
+        return False
+
+
 def _fps_kernel(num_samples, n, xs_ref, ys_ref, zs_ref, idx_ref):
     """One grid program = a VMEM-budget-sized tile of clouds in lockstep.
 
@@ -272,20 +328,19 @@ def _gather_split_kernel(n, c, tile, tpack_ref, idx_ref, out_ref):
     """Exact one-bf16-pass row gather of a 3-way-split packed table.
 
     tpack: (1, N, 3C) bf16 — [hi|mid|lo] with hi+mid+lo == src exactly
-    (8+9+7 mantissa bits cover f32's 24); idx: (1, tile, 1) int32 in
-    [0, N); out: (1, tile, C) f32, rows-major (no moveaxis afterwards).
+    (truncating 8+8+8 split, see split3_bf16 — the split MUST be built
+    with bit masks, not casts: the backend's forced
+    --xla_allow_excess_precision elides cast round-trips and zeroes
+    mid/lo, the r3-battery "WRONG at every shape" bug); idx: (1, tile,
+    1) int32 in [0, N); out: (1, tile, C) f32, rows-major (no moveaxis
+    afterwards).
 
     The one-hot contraction is exact in ONE default-precision bf16 MXU
     pass: each product is 1.0 * component with f32 accumulation.  The
     [I;I;I] fold matmul is exact too — the gathered components are
-    bf16-representable and their f32 sum reconstructs the mantissa.
-    Order-robustness of that 3-term sum: (hi+mid) and (mid+lo) partial
-    sums span <= 18 mantissa bits (exact in f32) and the total is the
-    original f32; the only inexact pairing would be hi+lo WITHOUT mid
-    (spans up to 26 bits), and it cannot occur under any sequential or
-    contiguous-tree accumulation over the contraction axis because
-    mid's lane k+C lies strictly between hi's k and lo's k+2C — any
-    contiguous range holding both endpoints holds mid.
+    bf16-representable, each carries a disjoint 8-bit slice of the
+    mantissa, so every partial sum spans <= 24 bits and the f32
+    accumulation reconstructs src under any association order.
     Replaces the 6-pass HIGHEST-precision orientation of _gather_kernel,
     whose (C, rows) output additionally paid a relayout copy at every
     call site (measured ~115 ms/iter of the 350 ms pointnet2 backbone
@@ -295,13 +350,18 @@ def _gather_split_kernel(n, c, tile, tpack_ref, idx_ref, out_ref):
     onehot = (iota_n == idx).astype(jnp.bfloat16)
     gp = jax.lax.dot_general(
         onehot, tpack_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (tile, 3C), comps bf16-exact
+        preferred_element_type=jnp.float32,
+        # pinned: a global default_matmul_precision('highest') otherwise
+        # leaks fp32 contract precision onto bf16 operands, which Mosaic
+        # rejects -- and these one-hot bf16 dots are exact by construction
+        precision=jax.lax.Precision.DEFAULT)  # (tile, 3C), comps bf16-exact
     f0 = jax.lax.broadcasted_iota(jnp.int32, (3 * c, c), 0)
     f1 = jax.lax.broadcasted_iota(jnp.int32, (3 * c, c), 1)
     fold = (f0 % c == f1).astype(jnp.bfloat16)
     out_ref[0] = jax.lax.dot_general(
         gp.astype(jnp.bfloat16), fold, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
 
 @jax.jit
@@ -309,10 +369,7 @@ def _gather_rows_split_call(src, idx):
     b, n, c = src.shape
     r = idx.shape[1]
     idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
-    hi = src.astype(jnp.bfloat16)
-    r1 = src - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, mid, lo = split3_bf16(src)
     tpack = jnp.concatenate([hi, mid, lo], axis=-1)  # (B, N, 3C)
     r_pad = _round_up(r, _LANES)
     if r_pad != r:
@@ -360,15 +417,16 @@ def _interp3_kernel(m, c_pad, tile, fpack_ref, idx_ref, w_ref, out_ref):
     a = jnp.zeros((tile, m), jnp.float32)
     for j in range(3):
         a = a + w[:, j:j + 1] * (iota == idx[:, j:j + 1]).astype(jnp.float32)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    ah, al = split2_bf16(a)
     fpack = fpack_ref[0]
     gp = jax.lax.dot_general(
         ah, fpack, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (tile, 3*C_pad)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # (tile, 3*C_pad)
     g4 = jax.lax.dot_general(
         al, fpack[:, :c_pad], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     out_ref[0] = (
         gp[:, :c_pad] + gp[:, c_pad:2 * c_pad] + gp[:, 2 * c_pad:] + g4
     )
@@ -394,10 +452,7 @@ def _three_interpolate_call(features, idx, weights):
     n = idx.shape[1]
     c_pad = _round_up(c, _LANES)
     m_pad = _round_up(m, _LANES)
-    hi = features.astype(jnp.bfloat16)
-    r1 = features - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, mid, lo = split3_bf16(features)
     comp_pad = ((0, 0), (0, m_pad - m), (0, c_pad - c))
     fpack = jnp.concatenate(
         [jnp.pad(t, comp_pad) for t in (hi, mid, lo)], axis=-1
@@ -575,6 +630,18 @@ def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
 def _gather_rows_dma_call(src, idx, interpret=False):
     b, n, c = src.shape
     r = idx.shape[1]
+    # Hardware constraint (r3 battery 6_pn2_dma_allc.log / 7_ab_gather.log):
+    # slicing sub-128-lane rows from the HBM source MosaicErrors at every
+    # C % 128 != 0 — the per-row copy's blocks violate the last-dim lane
+    # alignment rule.  Fail fast at trace time instead of via a remote
+    # HTTP-500 compile error; small-C sites belong to split/onehot anyway.
+    # (Interpret mode executes any C, so the guard honors both the
+    # explicit arg and pltpu.force_tpu_interpret_mode.)
+    if not interpret and not _interpret_forced() and c % _LANES != 0:
+        raise ValueError(
+            f"gather_rows_dma requires C % {_LANES} == 0 on hardware "
+            f"(got C={c}); Mosaic rejects sub-lane-width row copies from "
+            "HBM. Use the split/onehot kernels for small C.")
     idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
     r_pad = _round_up(r, _LANES)
     if r_pad != r:
@@ -615,13 +682,18 @@ def gather_rows_pallas(src, idx):
     Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
     of out-of-range indices to [0, N).
 
-    Four kernel orientations (CASPR_TPU_GATHER=split|onehot|dma|blk;
+    Three dispatchable orientations (CASPR_TPU_GATHER=split|onehot|dma;
     auto = split): the split-table rows-major kernel
     (_gather_split_kernel, one bf16 MXU pass + exact fold), the original
-    (C, rows) HIGHEST-precision contraction (_gather_kernel), the
+    (C, rows) HIGHEST-precision contraction (_gather_kernel), and the
     per-row async-copy kernel (_gather_dma_kernel — source stays in
-    HBM, so it has no C or source-slab VMEM limit), and the
-    block-decomposed lane-shuffle kernel (_gather_blk_kernel).
+    HBM, so it has no C or source-slab VMEM limit; requires C % 128 == 0
+    on hardware).  The block-decomposed lane-shuffle kernel
+    (_gather_blk_kernel) is RETIRED from dispatch: Mosaic's
+    dynamic-gather lowering rejects it at every tested shape ("Not
+    implemented: Multiple source vregs along gather dimension", r3
+    battery 14_pn2_blk.log / 7_ab_gather.log); the kernel is kept below
+    as a documented negative result.
 
     Differentiable: the VJP scatter-adds cotangent rows back to their
     source positions (the transpose of the one-hot contraction), so the
@@ -631,9 +703,18 @@ def gather_rows_pallas(src, idx):
     if mode == "onehot":
         return _gather_rows_call(src, idx)
     if mode == "dma":
-        return _gather_rows_dma_call(src, idx)
+        # hardware requires C lane-aligned (see _gather_rows_dma_call);
+        # unaligned sites fall back to split so a global =dma flip keeps
+        # the model runnable instead of raising at the C=3 xyz gathers
+        if src.shape[-1] % _LANES == 0 or _interpret_forced():
+            return _gather_rows_dma_call(src, idx)
+        return _gather_rows_split_call(src, idx)
     if mode == "blk":
-        return _gather_rows_blk_call(src, idx)
+        raise ValueError(
+            "CASPR_TPU_GATHER=blk is retired: Mosaic rejects the "
+            "lane-shuffle kernel at every tested shape ('Multiple source "
+            "vregs along gather dimension', r3 battery). Use "
+            "split|onehot|dma.")
     return _gather_rows_split_call(src, idx)
 
 
@@ -675,13 +756,19 @@ def _pairwise_d2_padded(a, b, n_valid):
 
     Uses the |a|^2 + |b|^2 - 2ab expansion so the (M, N) product rides the
     MXU — the elementwise-difference form materializes a (B, M, N, 3)
-    intermediate and dominated encoder time.  Absolute error is ~1e-7 for
-    unit-scale coordinates, orders of magnitude below both the smallest
-    ball-query threshold (0.02^2 = 4e-4) and the 1e-8 epsilon of the 3-NN
-    interpolation weights, so selection semantics are unaffected.
+    intermediate and dominated encoder time.  The ab contraction MUST run
+    at HIGHEST precision: TPU's default one-pass bf16 matmul gives ~2e-3
+    absolute d2 error at unit scale, and the r4 hardware probe caught the
+    default-precision version selecting ball-query neighbors up to 7%
+    OUTSIDE the radius (r^2 = 0.04) while missing in-radius points.  At
+    HIGHEST the error is ~1e-7 — orders of magnitude below both the
+    smallest ball-query threshold (0.02^2 = 4e-4) and the 1e-8 epsilon of
+    the 3-NN interpolation weights, so selection semantics are unaffected.
     """
     ab = jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        a, b, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, M, N)
     d2 = (
         jnp.sum(a * a, axis=-1)[:, :, None]

@@ -127,11 +127,14 @@ def gather_points(points, idx):
     if (
         _use_pallas()
         and points.dtype == jnp.float32
+        and c % 128 == 0
         and os.environ.get("CASPR_TPU_GATHER_DMA_ALLC", "0") == "1"
     ):
         # Opt-in hardware A/B: the per-row async-copy kernel keeps the
-        # source in HBM, so it has no C or source-slab limit and can
-        # serve the big-C sites XLA currently keeps.
+        # source in HBM, so it has no source-slab VMEM limit and can
+        # serve the big-C sites XLA currently keeps.  Hardware requires
+        # C lane-aligned (Mosaic rejects sub-128-lane row copies, r3
+        # battery); unaligned sites fall through to split/XLA below.
         from .pallas_kernels import gather_rows_dma
 
         out = gather_rows_dma(points, flat_idx)
@@ -282,13 +285,11 @@ def three_interpolate(features, idx, weights):
 
 
 def _split3(t):
-    """Exact 3-way bf16 split: t == hi + mid + lo (8+9+7 mantissa bits
-    cover float32's 24)."""
-    hi = t.astype(jnp.bfloat16)
-    r1 = t - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    """Exact 3-way bf16 split: t == hi + mid + lo (mask-based truncating
+    split — cast-based splits are elided to hi-only under this backend's
+    forced --xla_allow_excess_precision; see pallas_kernels.split3_bf16)."""
+    from .pallas_kernels import split3_bf16
+    return split3_bf16(t)
 
 
 @jax.jit
@@ -298,8 +299,8 @@ def _three_interpolate_dense(features, idx, weights):
     a = jnp.zeros(idx.shape[:2] + (m,), jnp.float32)
     for j in range(3):
         a = a + weights[..., j, None] * (idx[..., j, None] == iota)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    from .pallas_kernels import split2_bf16
+    ah, al = split2_bf16(a)
     fh, fm, fl = _split3(features)
 
     def bdot(x, y):

@@ -84,19 +84,24 @@ def _hdot(a, b):
 
 
 def _dot(a, b):
+    # precision pinned: a global default_matmul_precision('highest')
+    # otherwise leaks fp32 contract precision onto the kernel's bf16
+    # operands (Mosaic rejects that), and the one-hot dots are exact at
+    # DEFAULT by construction
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
 def _split3(t):
-    """Exact 3-way bf16 split of an f32 array: t == hi + mid + lo."""
-    hi = t.astype(jnp.bfloat16)
-    r1 = t - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, mid, lo
+    """Exact 3-way bf16 split of an f32 array: t == hi + mid + lo
+    (mask-based; cast-based splits are elided to hi-only under the
+    backend's forced --xla_allow_excess_precision, see
+    pallas_kernels.split3_bf16)."""
+    from .pallas_kernels import split3_bf16
+    return split3_bf16(t)
 
 
 def _tile_m_for(m: int, k: int, n: int, max_rows: int = 0) -> int:

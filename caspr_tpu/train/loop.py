@@ -285,6 +285,18 @@ def run_one_epoch(
                     float(metrics["tnocs_loss"]),
                     epoch * num_batches + i,
                 )
+                nfe_arr = np.asarray(metrics["nfe"])  # incl. adjoint evals
+                if (nfe_arr % 1.0 != 0.0).any():
+                    # odeint_discrete's step-bound exhaustion marker (a
+                    # +0.5 fraction on the NFE count — backend-safe, no
+                    # host callback; see ops/odeint.py::nfe_exhausted)
+                    log(
+                        log_out,
+                        "WARNING: a discrete-mode ODE solve hit its "
+                        "attempted-step bound this step; outputs past the "
+                        "bound hold the final integrator state. Raise "
+                        "CASPR_TPU_ODE_STEPS.",
+                    )
                 print_stats(
                     log_out,
                     epoch,
@@ -295,7 +307,7 @@ def run_one_epoch(
                     float(metrics.get("tnocs_pos_err", 0.0)),
                     float(metrics.get("tnocs_time_err", 0.0)),
                     "TRAIN",
-                    np.asarray(metrics["nfe"]),  # incl. adjoint evals
+                    nfe_arr,
                 )
                 batch_losses = []
         else:

@@ -369,4 +369,26 @@ def test_discrete_step_bound_exhaustion_safety_net():
     assert np.all(np.isfinite(out))
     assert out[1].max() < 1.0  # made some progress from y0 toward decay
     assert out[1].min() > np.exp(-0.8 * 5.0) - 1e-9  # but not converged
-    assert float(nfe) == 2.0 + 12.0  # init probe + exactly 2 steps
+    # init probe + exactly 2 steps, plus the +0.5 exhaustion marker
+    # (see ops/odeint.py::nfe_exhausted)
+    assert float(nfe) == 2.0 + 12.0 + 0.5
+
+
+def test_discrete_exhaustion_marker():
+    """Step-bound exhaustion must surface as a +0.5 marker on the NFE
+    count (pure device arithmetic — the r3 jax.debug.print mechanism was
+    a host callback, rejected at runtime by the axon TPU backend and
+    unable to cross-lower for jax.export)."""
+    from caspr_tpu.ops import odeint_discrete
+    from caspr_tpu.ops.odeint import nfe_exhausted
+
+    func = lambda t, y, args: -50.0 * y  # stiff: needs many small steps
+    y0 = jnp.ones((2,), jnp.float32)
+    ts = jnp.array([0.0, 5.0])
+
+    _, nfe_ok = odeint_discrete(func, y0, ts, None, num_steps=512)
+    assert not nfe_exhausted(nfe_ok)
+    assert float(nfe_ok) % 1.0 == 0.0
+
+    _, nfe_bad = odeint_discrete(func, y0, ts, None, num_steps=4)
+    assert nfe_exhausted(nfe_bad)

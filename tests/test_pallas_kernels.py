@@ -2,6 +2,7 @@
 kernels are exercised without hardware (SURVEY.md §4 plan)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
@@ -132,11 +133,18 @@ def test_gather_rows_split_matches_onehot_interpret(monkeypatch):
     want = np.asarray(
         jnp.take_along_axis(src, jnp.clip(idx, 0, 159)[:, :, None], axis=1)
     )
-    for mode in ("split", "onehot", "dma", "blk"):
+    for mode in ("split", "onehot", "dma"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(gather_rows_pallas(src, idx))
         np.testing.assert_array_equal(got, want)
+
+    # blk is retired from dispatch (Mosaic rejects it at every tested
+    # shape on hardware, r3 battery) — must fail loudly, not crash deep
+    # in a remote compile
+    monkeypatch.setenv("CASPR_TPU_GATHER", "blk")
+    with pytest.raises(ValueError, match="retired"):
+        gather_rows_pallas(src, idx)
 
 
 def test_gather_rows_dma_wide_channels_interpret(monkeypatch):
@@ -173,7 +181,7 @@ def test_gather_rows_pallas_grad_interpret(monkeypatch):
         return jnp.sum(jnp.take_along_axis(s, idx[:, :, None], axis=1) * ct)
 
     g_xla = np.asarray(jax.grad(loss_xla)(src))
-    for mode in ("split", "onehot", "dma", "blk"):
+    for mode in ("split", "onehot", "dma"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             g_pl = np.asarray(jax.grad(loss_pl)(src))
@@ -242,3 +250,72 @@ def test_gather_points_group_points_dispatch_interpret(monkeypatch):
     monkeypatch.setenv("CASPR_TPU_KERNELS", "xla")
     g_want = np.asarray(jax.grad(loss)(feats))
     np.testing.assert_allclose(g_got, g_want, rtol=1e-6, atol=1e-6)
+
+
+def test_split3_bf16_exact_reconstruction():
+    """The masked 3-way split must reconstruct f32 bit-exactly and emit
+    bf16-representable components.  The split is built with bit masks
+    rather than casts because the TPU backend's forced
+    --xla_allow_excess_precision elides f32->bf16->f32 cast round-trips,
+    zeroing the mid/lo components (the r3 'split gather WRONG on
+    hardware' bug — invisible to CPU tests, gated on hardware by
+    tools/hw_exactness.py; this test pins the construction itself)."""
+    from caspr_tpu.ops.pallas_kernels import split3_bf16
+
+    rng = np.random.RandomState(0)
+    t = np.concatenate([
+        rng.randn(4096).astype(np.float32) * 4,
+        rng.randn(1024).astype(np.float32) * 1e-6,
+        rng.randn(1024).astype(np.float32) * 1e6,
+        np.array([0.0, -0.0, 1.0, -1.0, np.pi], np.float32),
+    ])
+    hi, mid, lo = split3_bf16(jnp.asarray(t))
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    h = np.asarray(hi).astype(np.float32)
+    m = np.asarray(mid).astype(np.float32)
+    l = np.asarray(lo).astype(np.float32)
+    # bit-exact reconstruction, in EVERY association order (each
+    # component owns a disjoint 8-bit mantissa slice)
+    np.testing.assert_array_equal(h + m + l, t)
+    np.testing.assert_array_equal(h + (m + l), t)
+    np.testing.assert_array_equal((h + l) + m, t)
+
+
+def test_split2_bf16_residual_bound():
+    from caspr_tpu.ops.pallas_kernels import split2_bf16
+
+    rng = np.random.RandomState(1)
+    t = rng.randn(8192).astype(np.float32) * 4
+    hi, lo = split2_bf16(jnp.asarray(t))
+    recon = np.asarray(hi).astype(np.float32) + np.asarray(lo).astype(
+        np.float32)
+    err = np.abs(recon - t) / np.maximum(np.abs(t), 1e-30)
+    assert err.max() < 2.0 ** -16
+
+
+def test_gather_dma_requires_lane_aligned_c():
+    """The DMA orientation trace-time guard: sub-128-lane C must raise
+    outside interpret mode (Mosaic rejects the row copies on hardware,
+    r3 battery) instead of surfacing a remote HTTP-500 compile error."""
+    from caspr_tpu.ops import pallas_kernels as pk
+
+    src = jnp.zeros((1, 16, 13), jnp.float32)
+    idx = jnp.zeros((1, 8), jnp.int32)
+    with pytest.raises(ValueError, match="128"):
+        pk._gather_rows_dma_call(src, idx)
+
+
+def test_gather_dma_dispatch_falls_back_unaligned(monkeypatch):
+    """A global CASPR_TPU_GATHER=dma flip must keep unaligned-C sites
+    runnable via the split kernel rather than raising at the C=3 xyz
+    gathers (only lane-aligned C reaches the DMA kernel on hardware)."""
+    from caspr_tpu.ops.pallas_kernels import gather_rows_pallas
+
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randn(2, 64, 13).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 64, size=(2, 40)).astype(np.int32))
+    monkeypatch.setenv("CASPR_TPU_GATHER", "dma")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(gather_rows_pallas(src, idx))  # dma (interpret ok)
+    want = np.asarray(jnp.take_along_axis(src, idx[:, :, None], axis=1))
+    np.testing.assert_array_equal(got, want)

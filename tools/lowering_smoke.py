@@ -41,15 +41,15 @@ CASES = [
     ("defaults_encode", {}, "encode"),
     ("defaults_train_adjoint", {}, "train"),
     # opt-ins awaiting the battery
-    # ODE_WARN=0: the exhaustion warning is a debug callback, which
-    # cannot CROSS-lower (backend cpu vs platform tpu mismatch); on the
-    # real TPU backend it lowers natively and stays enabled.
-    ("train_discrete",
-     {"CASPR_TPU_ODE_BWD": "discrete", "CASPR_TPU_ODE_WARN": "0"}, "train"),
+    # (r4) the exhaustion warning is now a +0.5 NFE marker — pure device
+    # arithmetic, so discrete mode cross-lowers AND runs on axon with no
+    # CASPR_TPU_ODE_WARN knob needed.
+    ("train_discrete", {"CASPR_TPU_ODE_BWD": "discrete"}, "train"),
     ("train_cnf_bwd_pallas", {"CASPR_TPU_CNF_BWD": "pallas"}, "train"),
     ("gather_dma", {"CASPR_TPU_GATHER": "dma"}, "encode"),
     ("gather_dma_allc", {"CASPR_TPU_GATHER_DMA_ALLC": "1"}, "encode"),
-    ("gather_blk", {"CASPR_TPU_GATHER": "blk"}, "encode"),
+    # gather_blk RETIRED: Mosaic rejects the lane-shuffle kernel at every
+    # tested shape (r3 battery); dispatch now raises ValueError for it.
     ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
     ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
     ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),
