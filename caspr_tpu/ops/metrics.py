@@ -29,14 +29,74 @@ def chamfer_distance(pred, gt):
     CUDA ChamferDistance used at reference caspr/utils/evaluations.py:40.
     The caller takes per-cloud means and sums both directions
     (evaluations.py:41-43).
+
+    Select-then-refine: the NN *index* comes from the MXU-friendly
+    |a|^2+|b|^2-2ab expansion at HIGHEST precision (vmapped over a chunk
+    of pairs — the r3 version lax.map'ed the exact elementwise-difference
+    form one pair at a time and the (N, M, 3) diff tensor made the
+    chamfer leg cost ~75 ms per 30-pair eval batch, ~matching the whole
+    reconstruction); the returned *value* is the exact diff-form distance
+    to the selected neighbor, so the expansion's ~1e-7 absolute noise can
+    only perturb tie-scale selections — the reported min exceeds the true
+    min by at most 2x that noise (<0.01% of a CD x1000 ~7 metric), while
+    the values themselves stay exactly cancellation-free (critical: NN
+    distances here live at the 1e-3 scale where the raw expansion loses
+    ~half its digits).
     """
+    b = pred.shape[0]
+    chunk = _metric_chunk(b)
 
     def one(args):
-        p, g = args
-        d2 = pairwise_sqdist(p, g)  # (N, M)
-        return jnp.min(d2, axis=1), jnp.min(d2, axis=0)
+        p, g = args  # (chunk, N, 3), (chunk, M, 3)
+        ab = jax.lax.dot_general(
+            p, g, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (chunk, N, M)
+        d2 = (
+            jnp.sum(p * p, axis=-1)[:, :, None]
+            + jnp.sum(g * g, axis=-1)[:, None, :]
+            - 2.0 * ab
+        )
+        i1 = jnp.argmin(d2, axis=2).astype(jnp.int32)  # (chunk, N)
+        i2 = jnp.argmin(d2, axis=1).astype(jnp.int32)  # (chunk, M)
+        from .pointops import gather_points
 
-    return lax.map(one, (pred, gt))
+        nn1 = gather_points(g, i1)  # (chunk, N, 3)
+        nn2 = gather_points(p, i2)  # (chunk, M, 3)
+        return (
+            jnp.sum((p - nn1) ** 2, axis=-1),
+            jnp.sum((g - nn2) ** 2, axis=-1),
+        )
+
+    if chunk == b:
+        return one((pred, gt))
+    pad = -b % chunk
+    if pad:
+        pred = jnp.concatenate([pred, pred[:pad]], axis=0)
+        gt = jnp.concatenate([gt, gt[:pad]], axis=0)
+    n, m = pred.shape[1], gt.shape[1]
+    d1, d2 = lax.map(
+        one,
+        (
+            pred.reshape(-1, chunk, n, 3),
+            gt.reshape(-1, chunk, m, 3),
+        ),
+    )
+    return d1.reshape(-1, n)[:b], d2.reshape(-1, m)[:b]
+
+
+def _metric_chunk(b: int) -> int:
+    """Pairs per vmapped metric chunk: bounds the (chunk, N, M) distance
+    tensor (~16 MB per pair at the 2048x2048 protocol) while amortizing
+    dispatch.  CASPR_TPU_CD_CHUNK overrides."""
+    import os
+
+    try:
+        c = int(os.environ.get("CASPR_TPU_CD_CHUNK", "10"))
+    except ValueError:
+        c = 10
+    return max(1, min(c, b))
 
 
 def _approx_match(xyz1, xyz2, num_iters_pow: int = 7):

@@ -51,6 +51,7 @@ run 10 eval_legs  2400 python -u tools/bench_eval_legs.py
 run 11 ballquery 2400 python -u tools/ab_ballquery.py
 run 12 export_check 2400 python -u tools/export_model.py --out /tmp/exported_hw --batch 1 --steps 3 --points 256 --loose-platform-check --check
 run 13 cnf_tiles 2400 env BT=160 python -u tools/bench_cnf.py
+run 14 profile_pn2 3600 python -u tools/profile_pn2.py
 {
   echo "# battery summary $(date)"
   grep -h "seqs/sec\|metric\|ms \|PASS\|FAIL" /tmp/battery/*.log 2>/dev/null | head -100

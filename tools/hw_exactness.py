@@ -70,6 +70,19 @@ def main():
             except Exception as e:  # Mosaic rejection is also a failure
                 crash(f"{name} C={c}", e)
 
+    # --- DMA gather at its one legal regime (lane-aligned C) -------------
+    from caspr_tpu.ops.pallas_kernels import _gather_rows_dma_call
+    src = jnp.asarray(rng.standard_normal((4, 1024, 128), dtype=np.float32))
+    idx = jnp.asarray(rng.integers(0, 1024, (4, 4096)), dtype=jnp.int32)
+    ref = np.asarray(jnp.take_along_axis(
+        src, idx[:, :, None].astype(jnp.int32), axis=1))
+    try:
+        err = float(np.abs(np.asarray(_gather_rows_dma_call(src, idx)) - ref)
+                    .max())
+        check("gather_dma C=128", err, 0.0)
+    except Exception as e:
+        crash("gather_dma C=128", e)
+
     # --- three_interpolate (pallas + dense) -----------------------------
     from caspr_tpu.ops.pallas_kernels import three_interpolate_pallas
     from caspr_tpu.ops.pointops import _three_interpolate_dense

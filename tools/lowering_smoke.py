@@ -5,12 +5,19 @@ jax.export runs the full jax lowering pipeline for the target platform
 (including every pallas_call's Mosaic-dialect lowering) without needing
 the target backend, so a config that fails here would fail at compile
 time on the TPU too.  It does NOT run the Mosaic->binary compile, so a
-pass here is necessary-not-sufficient — late Mosaic pipeline errors
-(VMEM overflow, register pressure, some shape legality checks) still
-need the hardware battery.  Still, during the r3 tunnel outage this is
-the strongest available pre-hardware gate for the unmeasured kernels
-and opt-ins (split/dma/blk gathers, fused-d2, Pallas interp, discrete
-backward, CNF tiles, bf16 modes).
+pass here is NECESSARY-NOT-SUFFICIENT — the r3 battery proved it: the
+blk gather and the small-C DMA gather both passed this gate and were
+rejected by the backend compiler ("Multiple source vregs along gather
+dimension" / lane-alignment).  Two complements close the gap:
+
+  * ``AOT=1``: compile each case against the LIVE TPU toolchain
+    (jit(...).lower().compile() — full Mosaic->binary, VMEM budgeting,
+    no execution, no input data).  Needs the tunnel; full-model cases
+    cost 10-25 min cold on this single-core host but populate the
+    persistent compile cache, making subsequent real runs warm.
+  * ``tools/hw_exactness.py`` (battery stage 1): compiles AND runs every
+    default-dispatched kernel at real site shapes against f32 oracles —
+    the cheap kernel-granular gate; run it first when the tunnel is up.
 
 Each case builds fresh jitted functions (kernel dispatch reads env at
 trace time).  Shapes are the real ones: reconstruct at the 10x2048
@@ -28,8 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# CPU host (the sitecustomize force-selects the remote axon TPU).
-jax.config.update("jax_platforms", "cpu")
+AOT = os.environ.get("AOT", "0") == "1"
+if not AOT:
+    # CPU host (the sitecustomize force-selects the remote axon TPU).
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 from jax import export as jexp
@@ -66,6 +75,14 @@ _BASE_ENV = {
 
 
 def _lower(fn, args, name):
+    if AOT:
+        # full backend compile on the live TPU toolchain (no execution);
+        # catches what export-lowering can't — Mosaic binary rejections,
+        # VMEM budget overflows — and warms the persistent compile cache
+        jax.jit(fn).lower(*args).compile()
+        print(f"  ok: {name} AOT-compiled for the live TPU backend",
+              flush=True)
+        return
     exp = jexp.export(jax.jit(fn), platforms=("tpu",))(*args)
     n_calls = exp.mlir_module().count("tpu_custom_call")
     print(f"  ok: {name} lowered for tpu ({n_calls} tpu_custom_call sites)",
@@ -124,6 +141,10 @@ def run_case(name, env, program):
 
 
 def main():
+    if AOT:
+        from caspr_tpu.utils.runtime import enable_compile_cache
+
+        enable_compile_cache()
     only = os.environ.get("CASES", "")
     sel = [c for c in CASES if not only or c[0] in only.split(",")]
     results = {}
