@@ -181,6 +181,22 @@ def test_chamfer_oracle(clouds):
         np.testing.assert_allclose(d2[i], full.min(0), rtol=1e-5, atol=1e-7)
 
 
+def test_chamfer_chunked_padding(monkeypatch):
+    """Batched chamfer's chunk/pad path (b > chunk, b % chunk != 0) must
+    match the full computation exactly, and N != M must hold shape-wise."""
+    rng = np.random.RandomState(3)
+    a = rng.randn(13, 48, 3).astype(np.float32) * 0.3
+    b = rng.randn(13, 32, 3).astype(np.float32) * 0.3
+    monkeypatch.setenv("CASPR_TPU_CD_CHUNK", "4")
+    d1, d2 = chamfer_distance(jnp.asarray(a), jnp.asarray(b))
+    d1, d2 = np.asarray(d1), np.asarray(d2)
+    assert d1.shape == (13, 48) and d2.shape == (13, 32)
+    for i in range(13):
+        full = np.sum((a[i][:, None] - b[i][None]) ** 2, -1)
+        np.testing.assert_allclose(d1[i], full.min(1), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(d2[i], full.min(0), rtol=1e-5, atol=1e-7)
+
+
 def test_chamfer_identical_clouds(clouds):
     d1, d2 = chamfer_distance(jnp.asarray(clouds), jnp.asarray(clouds))
     assert float(jnp.max(d1)) < 1e-9

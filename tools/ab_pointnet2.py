@@ -44,14 +44,19 @@ def main():
     out = fn(params, pts)
     sync(out)
     iters = 6
-    start = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, (pts + i * 1e-6).astype(pts.dtype))
-    sync(out)
-    t = (time.perf_counter() - start) / iters
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    print(f"pointnet2_apply CASPR_TPU_SA={mode} B={B}: {t*1e3:.1f} ms  "
-          f"leaf0={float(leaf.reshape(-1)[0]):.5f}")
+    # two timing rounds: the first timed loop in a process consistently
+    # reads ~30-40% high on the remote axon backend (r4 battery:
+    # ab_pointnet2 298.7 ms vs 209.7 for the identical program measured
+    # later in profile_pn2's process) — report both, trust the warm one
+    for tag in ("cold", "warm"):
+        start = time.perf_counter()
+        for i in range(iters):
+            out = fn(params, (pts + i * 1e-6).astype(pts.dtype))
+        sync(out)
+        t = (time.perf_counter() - start) / iters
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        print(f"pointnet2_apply CASPR_TPU_SA={mode} B={B} [{tag}]: "
+              f"{t*1e3:.1f} ms  leaf0={float(leaf.reshape(-1)[0]):.5f}")
 
 
 if __name__ == "__main__":

@@ -146,6 +146,13 @@ def main():
     stages += [(f"+FP1-{i}", 5, i, False) for i in range(1, 6)]
     stages += [("+head", 5, 5, True)]
 
+    # warm the dispatch pipeline with the full program before any timed
+    # loop: the first timed loop in a process reads ~30-40% high on the
+    # remote backend (r4 battery: SA1-1 189.8 ms cold vs the SA1-2
+    # cumulative 125.5 that contains it)
+    t_full = timeit(_prefix_fn(cfg, 5, 5, True), params, pts)
+    print(f"pipeline warmup (full program): {t_full:.1f} ms (discard)")
+
     prev = 0.0
     print(f"pointnet2 stage breakdown  B={B} N={N}  (cumulative / delta ms)")
     for name, n_sa, n_fp, head in stages:
