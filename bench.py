@@ -100,9 +100,14 @@ def model_flops_per_seq(nfe_cnf: float, nfe_ode: float) -> float:
     flops += (
         2 * (64 * 512 + 512 * 512 + 512 * 512 + 512 * 64) * max(nfe_ode, 1.0)
     )
-    # CNF decode: concatsquash stack, primal + Hutchinson tangent per NFE
+    # CNF decode: concatsquash stack per NFE.  The sampling path (r4
+    # default) integrates the primal only — no log-density is requested,
+    # so the Hutchinson tangent's 2x is counted only when
+    # CASPR_TPU_SAMPLE_DIV=1 restores the reference's
+    # integrate-everything behavior (models/cnf.py::cnf_block_apply).
     dims = [(3, 512), (512, 512), (512, 512), (512, 3)]
-    flops += 2 * 2 * tn * sum(a * b for a, b in dims) * max(nfe_cnf, 1.0)
+    tangent = 2 if os.environ.get("CASPR_TPU_SAMPLE_DIV", "0") == "1" else 1
+    flops += tangent * 2 * tn * sum(a * b for a, b in dims) * max(nfe_cnf, 1.0)
     return flops
 
 

@@ -232,8 +232,39 @@ def _dynamics_kernel_mode(cfg: CNFConfig) -> str:
 # --------------------------- CNF dynamics ----------------------------------
 
 
-def _make_dynamics(cfg: CNFConfig, reverse: bool):
-    """Dynamics over states (x, logpx).
+def _cnf_matmul_dtype() -> str:
+    """Matmul operand dtype for the fused CNF kernels.
+
+    The explicit bf16 operand cast is bit-identical to JAX's default TPU
+    matmul precision (one-pass bf16) and ~5% faster, so it is the default
+    unless the user requested full-f32 matmuls via --matmul-precision (or
+    forces f32 via CASPR_TPU_CNF_MATMUL)."""
+    import os
+
+    import jax as _jax
+
+    env = os.environ.get("CASPR_TPU_CNF_MATMUL", "auto")
+    if env in ("bf16", "f32"):
+        return env
+    # bit-identity to the default precision only holds on TPU (the MXU
+    # truncates f32 operands to bf16 anyway); CPU/GPU default matmuls are
+    # full f32, so keep f32 there
+    global_prec = _jax.config.jax_default_matmul_precision
+    try:
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        on_tpu = False
+    return (
+        "bf16"
+        if on_tpu and global_prec in (None, "bfloat16", "default", "fastest")
+        else "f32"
+    )
+
+
+def _make_dynamics(cfg: CNFConfig, reverse: bool, with_div: bool = True):
+    """Dynamics over states (x, logpx), or just x when ``with_div`` is
+    False (the sampling path: no log-density requested, so the Hutchinson
+    divergence — half the dynamics FLOPs — is never computed).
 
     Forward flows integrate t: 0 -> T_end directly.  Reverse flows
     (sampling; reference cnf.py:95-96 flips integration times) are recast as
@@ -246,7 +277,7 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
         # dimension would pad to 128 on TPU and make every solver
         # elementwise op (tableau sums, error norms, interpolation) ~40x
         # wider than necessary.  Reshape only here, around the network.
-        x_flat, _ = states
+        x_flat = states if not with_div else states[0]
         bt = x_flat.shape[0]
         x = x_flat.reshape(bt, -1, cfg.input_dim)
         t_phys = args["t_end"] - t if reverse else t
@@ -254,40 +285,24 @@ def _make_dynamics(cfg: CNFConfig, reverse: bool):
             [jnp.full((bt, 1), 1.0, x.dtype) * t_phys, args["context"]], axis=1
         )
 
+        if not with_div:
+            if _dynamics_kernel_mode(cfg) == "pallas":
+                from ..ops.cnf_fused import fused_concatsquash_primal
+
+                dx = fused_concatsquash_primal(
+                    args["params"], tc, x, _cnf_matmul_dtype()
+                )
+            else:
+                dx = odenet_apply(args["params"], cfg, tc, x)
+            dx = dx.reshape(bt, -1)
+            return -dx if reverse else dx
+
         e = args["e"]
         if _dynamics_kernel_mode(cfg) == "pallas":
-            import os
-
-            import jax as _jax
-
             from ..ops.cnf_fused import fused_concatsquash_dynamics
 
-            # explicit bf16 operand cast is bit-identical to JAX's default
-            # TPU matmul precision (one-pass bf16) and ~5% faster, so it is
-            # the default unless the user requested full-f32 matmuls via
-            # --matmul-precision (or forces f32 via the env var)
-            env = os.environ.get("CASPR_TPU_CNF_MATMUL", "auto")
-            global_prec = _jax.config.jax_default_matmul_precision
-            if env == "bf16":
-                mm_dtype = "bf16"
-            elif env == "f32":
-                mm_dtype = "f32"
-            else:
-                # bit-identity to the default precision only holds on TPU
-                # (MXU truncates f32 operands to bf16 anyway); CPU/GPU
-                # default matmuls are full f32, so keep f32 there
-                try:
-                    on_tpu = _jax.default_backend() not in ("cpu", "gpu")
-                except RuntimeError:
-                    on_tpu = False
-                mm_dtype = (
-                    "bf16"
-                    if on_tpu
-                    and global_prec in (None, "bfloat16", "default", "fastest")
-                    else "f32"
-                )
             dx, div = fused_concatsquash_dynamics(
-                args["params"], tc, x, e, mm_dtype
+                args["params"], tc, x, e, _cnf_matmul_dtype()
             )
         elif _can_fuse_jvp(cfg):
             dx, jvp_val = odenet_apply_with_jvp(args["params"], cfg, tc, x, e)
@@ -320,28 +335,56 @@ def cnf_block_init(key, cfg: CNFConfig):
 def cnf_block_apply(
     params, cfg: CNFConfig, x, context, logpx, key, reverse, nfe_sink=None
 ):
-    """One CNF block. x: (B, N, D); context: (B, zdim); logpx: (B, N, 1).
+    """One CNF block. x: (B, N, D); context: (B, zdim); logpx: (B, N, 1)
+    or None.
 
     Returns (y, logpy, nfe).  The Hutchinson noise is sampled once per solve
     and held fixed across evaluations (odefunc.py:126-128).  ``nfe_sink``'s
     gradient reports adjoint-pass NFE (see ops.odeint.odeint_adjoint).
+
+    ``logpx=None`` (the sampling path: decode/reconstruct never read the
+    transformed log-density) integrates the x state ALONE — the Hutchinson
+    divergence channel, half the dynamics FLOPs, is skipped entirely and
+    the returned logpy is zeros.  The reference integrates the (unused)
+    logp channel here too (cnf.py:85-99); skipping it leaves the x
+    dynamics unchanged but removes the logp term from dopri5's error norm,
+    so accepted steps — hence NFE and the result within tolerance — can
+    differ slightly.  CASPR_TPU_SAMPLE_DIV=1 restores the reference's
+    integrate-everything behavior for exact NFE/trajectory parity.
     """
+    import os
+
     if cfg.train_T:
         t_end = params["sqrt_end_time"] * params["sqrt_end_time"]
     else:
         t_end = jnp.asarray(cfg.time_length, x.dtype)
-    e = jax.random.normal(key, x.shape, x.dtype)
+    sample_mode = (
+        logpx is None and os.environ.get("CASPR_TPU_SAMPLE_DIV", "0") != "1"
+    )
+    bt, n, d = x.shape
+    ts = jnp.stack([jnp.zeros_like(t_end), t_end])
     args = {
         "params": params["odenet"],
         "context": context,
-        "e": jax.lax.stop_gradient(e),
         "t_end": t_end,
     }
-    ts = jnp.stack([jnp.zeros_like(t_end), t_end])
+    if sample_mode:
+        dyn = _make_dynamics(cfg, reverse, with_div=False)
+        xs, nfe = odeint_adjoint(
+            dyn, x.reshape(bt, n * d), ts, args,
+            rtol=cfg.rtol, atol=cfg.atol, nfe_sink=nfe_sink,
+        )
+        return (
+            xs[1].reshape(bt, n, d),
+            jnp.zeros((bt, n, 1), x.dtype),
+            nfe,
+        )
+    e = jax.random.normal(key, x.shape, x.dtype)
+    args["e"] = jax.lax.stop_gradient(e)
     dyn = _make_dynamics(cfg, reverse)
-    bt, n, d = x.shape
+    lp = jnp.zeros((bt, n, 1), x.dtype) if logpx is None else logpx
     # lane-packed solver state (see _make_dynamics)
-    state0 = (x.reshape(bt, n * d), logpx.reshape(bt, n))
+    state0 = (x.reshape(bt, n * d), lp.reshape(bt, n))
     (xs, lps), nfe = odeint_adjoint(
         dyn, state0, ts, args, rtol=cfg.rtol, atol=cfg.atol, nfe_sink=nfe_sink
     )
@@ -476,11 +519,8 @@ def flow_apply(
                 params[i], state[i], cfg, x, logpx, reverse, training
             )
         else:
-            lp = (
-                jnp.zeros(x.shape[:-1] + (1,), x.dtype) if logpx is None else logpx
-            )
             x, logpx_out, block_nfe = cnf_block_apply(
-                params[i], cfg, x, context, lp, keys[ki], reverse, nfe_sink
+                params[i], cfg, x, context, logpx, keys[ki], reverse, nfe_sink
             )
             logpx = None if logpx is None else logpx_out
             nfe = nfe + block_nfe

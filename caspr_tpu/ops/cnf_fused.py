@@ -115,10 +115,71 @@ def _fused_kernel(num_hidden, r, matmul_dtype, y_ref, e_ref, gb_ref,
     div_ref[0] = jnp.sum(z[:, r:] * ep, axis=0, keepdims=True)
 
 
+def _fused_primal_kernel(num_hidden, r, matmul_dtype, y_ref, gb_ref,
+                         w_first_ref, w_hidden_ref, w_last_ref, dx_ref):
+    """Primal-only variant of ``_fused_kernel`` for sampling: no tangent
+    half, no divergence output.  Dropping the lane-stacked tangent halves
+    the matmul width and VMEM per point tile, so the tile default doubles
+    (see ``_pick_tile`` call in ``_fused_primal_call``)."""
+    yp = y_ref[0]  # (8, R)
+    num_layers = num_hidden + 2
+
+    gbt = jnp.transpose(gb_ref[0])  # (H, 8)
+    gate_col = lambda i: gbt[:, i:i + 1]
+    beff_col = lambda i: gbt[:, num_layers + i:num_layers + i + 1]
+
+    def mm(w, z):
+        if matmul_dtype == "bf16":
+            w = w.astype(jnp.bfloat16)
+            z = z.astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            w, z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def layer(z, w, gate, beff, last):
+        zp = mm(w, z) * gate + beff
+        if not last:
+            zp = jax.nn.softplus(zp)
+        return zp
+
+    z = layer(yp, w_first_ref[:], gate_col(0), beff_col(0), last=False)
+    for i in range(num_hidden):
+        z = layer(z, w_hidden_ref[i], gate_col(1 + i), beff_col(1 + i),
+                  last=False)
+    dx_ref[0] = layer(z, w_last_ref[:],
+                      gate_col(num_layers - 1)[0:8],
+                      beff_col(num_layers - 1)[0:8], last=True)
+
+
 def _planes(x):
     """(BT, N, 3) -> (BT, 8, N) zero-padded coordinate planes."""
     p = jnp.moveaxis(x, -1, 1)  # (BT, 3, N)
     return jnp.pad(p, ((0, 0), (0, 8 - p.shape[1]), (0, 0)))
+
+
+def _pick_tile(env_var: str, default: int, n_pad: int) -> int:
+    """Validated point-tile size: non-integer / non-positive values fall
+    back to ``default`` with a warning; anything else rounds down to a
+    power of two in [128, 4096] so the halving loop can never collapse to
+    a sub-lane grid (128 always divides the lane-padded n_pad)."""
+    raw = os.environ.get(env_var, str(default))
+    try:
+        req = int(raw)
+    except ValueError:
+        req = 0
+    if req <= 0:
+        import warnings
+
+        warnings.warn(
+            f"{env_var}={raw!r} is not a positive integer; using {default}"
+        )
+        req = default
+    req = 1 << max(7, min(12, req.bit_length() - 1))
+    r = min(req, n_pad)
+    while n_pad % r:
+        r //= 2
+    return r
 
 
 def _context_gb(params, tc):
@@ -161,29 +222,9 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
         yp = jnp.pad(yp, ((0, 0), (0, 0), (0, n_pad - n)))
         ep = jnp.pad(ep, ((0, 0), (0, 0), (0, n_pad - n)))
 
-    # Validated tile override: non-integer / non-positive values fall back
-    # to the 512 default with a warning; anything else is rounded down to
-    # a power of two in [128, 4096] so the halving loop below can never
-    # collapse to a 1-lane grid (128 always divides the lane-padded n_pad).
     # Default 512 per the r3 hardware battery (6.39 vs 6.47 ms/NFE at
     # BT=160 for tile 1024; tile 2048 exceeds the 16 MB scoped VMEM).
-    raw = os.environ.get("CASPR_TPU_CNF_TILE", "512")
-    try:
-        req = int(raw)
-    except ValueError:
-        req = 0
-    if req <= 0:
-        import warnings
-
-        warnings.warn(
-            f"CASPR_TPU_CNF_TILE={raw!r} is not a positive integer; "
-            "using 512"
-        )
-        req = 512
-    req = 1 << max(7, min(12, req.bit_length() - 1))
-    r = min(req, n_pad)
-    while n_pad % r:
-        r //= 2
+    r = _pick_tile("CASPR_TPU_CNF_TILE", 512, n_pad)
 
     kernel = functools.partial(_fused_kernel, num_hidden, r, matmul_dtype)
     plane_spec = pl.BlockSpec(
@@ -216,6 +257,47 @@ def _fused_call(w_first, w_hidden, w_last, gb, y, e, *, matmul_dtype="f32"):
     )(yp, ep, gb, w_first, w_hidden, w_last)
     dx = jnp.moveaxis(dx[:, :d, :n], 1, -1)  # (BT, N, 3)
     return dx, div[:, 0, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("matmul_dtype",))
+def _fused_primal_call(w_first, w_hidden, w_last, gb, y, *, matmul_dtype="f32"):
+    """y: (BT, N, 3) -> dx (BT, N, 3), no divergence."""
+    bt, n, d = y.shape
+    h = w_first.shape[0]
+    num_hidden = w_hidden.shape[0]
+    n_pad = _round_up(n, _LANES)
+
+    yp = _planes(y)
+    if n_pad != n:
+        yp = jnp.pad(yp, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    # twice the stacked kernel's tile: with no tangent half the matmul
+    # width and VMEM at tile R equal the stacked kernel's at R/2
+    r = _pick_tile("CASPR_TPU_CNF_PRIMAL_TILE", 1024, n_pad)
+
+    kernel = functools.partial(_fused_primal_kernel, num_hidden, r,
+                               matmul_dtype)
+    plane_spec = pl.BlockSpec(
+        (1, 8, r), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dx = pl.pallas_call(
+        kernel,
+        grid=(bt, n_pad // r),
+        in_specs=[
+            plane_spec,
+            pl.BlockSpec((1, 8, h), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 8), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_hidden, h, h), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((bt, 8, n_pad), jnp.float32),
+    )(yp, gb, w_first, w_hidden, w_last)
+    return jnp.moveaxis(dx[:, :d, :n], 1, -1)  # (BT, N, 3)
 
 
 def _fused_bwd_kernel(num_hidden, r, matmul_dtype,
@@ -394,17 +476,7 @@ def _fused_bwd_call(w_first, w_hidden, w_last, gb, y, e, ct_dx, ct_div, *,
     # smaller tile than the forward: the backward keeps the per-layer
     # pre-gate outputs plus the weight-grad accumulators VMEM-resident
     # (CASPR_TPU_CNF_BWD_TILE overrides, same validation as the forward)
-    raw = os.environ.get("CASPR_TPU_CNF_BWD_TILE", "256")
-    try:
-        req = int(raw)
-    except ValueError:
-        req = 256
-    if req <= 0:
-        req = 256
-    req = 1 << max(7, min(12, req.bit_length() - 1))
-    r = min(req, n_pad)
-    while n_pad % r:
-        r //= 2
+    r = _pick_tile("CASPR_TPU_CNF_BWD_TILE", 256, n_pad)
 
     kernel = functools.partial(_fused_bwd_kernel, num_hidden, r, matmul_dtype)
     plane_spec = pl.BlockSpec(
@@ -470,6 +542,22 @@ def _reference_dynamics(params, tc, y, e):
 
     dx, jvp_val = jax.jvp(f, (y,), (e,))
     return dx, jnp.sum(jvp_val * e, axis=-1)
+
+
+def _reference_primal(params, tc, y):
+    """XLA composition of the primal concatsquash stack (no JVP): the
+    custom_vjp backward of ``fused_concatsquash_primal`` and its test
+    oracle.  Mirrors models.cnf.odenet_apply."""
+    layers = params["layers"]
+    num = len(layers)
+    dx = y
+    for i, lp in enumerate(layers):
+        gate = jax.nn.sigmoid(linear(lp["_hyper_gate"], tc))[:, None, :]
+        bias = linear(lp["_hyper_bias"], tc)[:, None, :]
+        dx = linear(lp["_layer"], dx) * gate + bias
+        if i < num - 1:
+            dx = jax.nn.softplus(dx)
+    return dx
 
 
 def _pack_weights(params):
@@ -554,6 +642,33 @@ def _fused_bwd(matmul_dtype, res, cts):
 
 
 fused_concatsquash_dynamics.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_concatsquash_primal(params, tc, y, matmul_dtype="f32"):
+    """f(y) only — the sampling-path dynamics (reverse CNF with no
+    log-density request, see models.cnf.cnf_block_apply).  Same layer
+    math as ``fused_concatsquash_dynamics`` without the Hutchinson
+    tangent: half the FLOPs and VMEM per point."""
+    gb = _context_gb(params, tc)
+    w_first, w_hidden, w_last = _pack_weights(params)
+    return _fused_primal_call(
+        w_first, w_hidden, w_last, gb, y, matmul_dtype=matmul_dtype
+    )
+
+
+def _fused_primal_fwd(params, tc, y, matmul_dtype):
+    out = fused_concatsquash_primal(params, tc, y, matmul_dtype)
+    return out, (params, tc, y)
+
+
+def _fused_primal_bwd(matmul_dtype, res, ct):
+    params, tc, y = res
+    _, vjp = jax.vjp(_reference_primal, params, tc, y)
+    return vjp(ct)
+
+
+fused_concatsquash_primal.defvjp(_fused_primal_fwd, _fused_primal_bwd)
 
 
 def can_fuse(cfg) -> bool:

@@ -89,13 +89,15 @@ def chamfer_distance(pred, gt):
 def _metric_chunk(b: int) -> int:
     """Pairs per vmapped metric chunk: bounds the (chunk, N, M) distance
     tensor (~16 MB per pair at the 2048x2048 protocol) while amortizing
-    dispatch.  CASPR_TPU_CD_CHUNK overrides."""
+    dispatch.  CASPR_TPU_CD_CHUNK overrides.  Default 4 from the r4
+    hardware sweep (battery2 stages 21/22: chunk 4 -> 47.3 ms, 30 ->
+    48.3, 10 -> 60.1 per 30-pair protocol batch)."""
     import os
 
     try:
-        c = int(os.environ.get("CASPR_TPU_CD_CHUNK", "10"))
+        c = int(os.environ.get("CASPR_TPU_CD_CHUNK", "4"))
     except ValueError:
-        c = 10
+        c = 4
     return max(1, min(c, b))
 
 

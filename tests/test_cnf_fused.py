@@ -202,3 +202,111 @@ def test_fused_backward_kernel_two_dims(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
         )
+
+
+# ------------------------- primal-only (sampling) kernel -------------------
+
+
+def test_fused_primal_matches_oracle_interpret():
+    from caspr_tpu.ops.cnf_fused import (
+        _reference_primal,
+        fused_concatsquash_primal,
+    )
+
+    params, tc, y, _ = _setup(key=6)
+    want = odenet_apply(params, CFG, tc, y)
+    ref = _reference_primal(params, tc, y)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(want), rtol=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_concatsquash_primal(params, tc, y)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_primal_ragged_and_grads():
+    from caspr_tpu.ops.cnf_fused import fused_concatsquash_primal
+
+    params, tc, y, _ = _setup(key=7, bt=3, n=200)
+    want = odenet_apply(params, CFG, tc, y)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_concatsquash_primal(params, tc, y)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss_fused(p, c, yy):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_concatsquash_primal(p, c, yy) ** 2)
+
+    def loss_xla(p, c, yy):
+        return jnp.sum(odenet_apply(p, CFG, c, yy) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(params, tc, y)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(params, tc, y)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
+
+
+def test_sample_mode_skips_divergence(monkeypatch):
+    """cnf_block_apply with logpx=None must integrate x alone; the result
+    stays within solver tolerance of the integrate-everything reference
+    path (CASPR_TPU_SAMPLE_DIV=1), which itself must match the old
+    stacked-state behavior bit-for-bit."""
+    from caspr_tpu.models.cnf import cnf_block_apply, cnf_block_init
+
+    cfg = CNFConfig(input_dim=3, dims=(128, 128), zdim=8,
+                    atol=1e-5, rtol=1e-5)
+    key = jax.random.PRNGKey(11)
+    params = cnf_block_init(key, cfg)
+    x = jax.random.normal(key, (2, 64, 3)) * 0.3
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (2, cfg.zdim)) * 0.3
+
+    monkeypatch.setenv("CASPR_TPU_CNF_KERNEL", "xla")
+    y_fast, lp_fast, nfe_fast = cnf_block_apply(
+        params, cfg, x, ctx, None, key, True
+    )
+    assert float(jnp.max(jnp.abs(lp_fast))) == 0.0
+
+    monkeypatch.setenv("CASPR_TPU_SAMPLE_DIV", "1")
+    y_ref, _, nfe_ref = cnf_block_apply(params, cfg, x, ctx, None, key, True)
+    # same field, different error norm -> slightly different accepted
+    # steps; results agree within a small multiple of the tolerance
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_ref), rtol=1e-3, atol=1e-3
+    )
+    # with the explicit-zeros logp the div channel is integrated: the
+    # reference-parity path must equal passing explicit zeros
+    lp0 = jnp.zeros((2, 64, 1))
+    y_z, _, nfe_z = cnf_block_apply(params, cfg, x, ctx, lp0, key, True)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_z))
+    assert float(nfe_ref) == float(nfe_z)
+
+
+def test_flow_apply_sampling_path(monkeypatch):
+    """flow_apply with logpx=None (decode) runs the no-div path end to end
+    and returns x of the right shape with logp None."""
+    from caspr_tpu.models.cnf import flow_apply, flow_init
+
+    cfg = CNFConfig(input_dim=3, dims=(128, 128), zdim=8,
+                    atol=1e-4, rtol=1e-4)
+    key = jax.random.PRNGKey(13)
+    params, state = flow_init(key, cfg)
+    y = jax.random.normal(key, (2, 32, 3))
+    ctx = jax.random.normal(jax.random.fold_in(key, 2), (2, cfg.zdim)) * 0.3
+
+    monkeypatch.setenv("CASPR_TPU_CNF_KERNEL", "xla")
+    x, lp, _, nfe = flow_apply(
+        params, state, cfg, y, ctx, None, key, reverse=True, training=False
+    )
+    assert x.shape == y.shape and lp is None and float(nfe) > 0
+    monkeypatch.setenv("CASPR_TPU_SAMPLE_DIV", "1")
+    x_ref, _, _, _ = flow_apply(
+        params, state, cfg, y, ctx, None, key, reverse=True, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_ref), rtol=1e-3, atol=1e-3
+    )

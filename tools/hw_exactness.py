@@ -162,6 +162,18 @@ def main():
     except Exception as e:
         crash("cnf_fused dynamics", e)
 
+    # --- fused primal-only (sampling) dynamics ----------------------------
+    try:
+        from caspr_tpu.ops.cnf_fused import (
+            _reference_primal, fused_concatsquash_primal)
+        dx_p = np.asarray(fused_concatsquash_primal(op, tc, y))
+        dx_pr = np.asarray(_reference_primal(op, tc, y))
+        sc = max(float(np.abs(dx_pr).max()), 1e-6)
+        err = float(np.abs(dx_p - dx_pr).max()) / sc
+        check("cnf_primal dynamics", err, 1e-3)
+    except Exception as e:
+        crash("cnf_primal dynamics", e)
+
     # --- hierarchical FPS == per-level FPS --------------------------------
     try:
         from caspr_tpu.ops.pointops import farthest_point_sampling

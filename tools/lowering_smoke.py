@@ -62,8 +62,15 @@ CASES = [
     ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
     ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
     ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),
-    ("cnf_tile512", {"CASPR_TPU_CNF_TILE": "512"}, "recon"),
-    ("cnf_tile2048", {"CASPR_TPU_CNF_TILE": "2048"}, "recon"),
+    # the recon path defaults to the primal-only sampling kernel (r4);
+    # CASPR_TPU_SAMPLE_DIV=1 restores the stacked (dx, div) kernel there
+    ("recon_sample_div", {"CASPR_TPU_SAMPLE_DIV": "1"}, "recon"),
+    ("cnf_tile512", {"CASPR_TPU_SAMPLE_DIV": "1",
+                     "CASPR_TPU_CNF_TILE": "512"}, "recon"),
+    ("cnf_tile2048", {"CASPR_TPU_SAMPLE_DIV": "1",
+                      "CASPR_TPU_CNF_TILE": "2048"}, "recon"),
+    ("cnf_primal_tile512", {"CASPR_TPU_CNF_PRIMAL_TILE": "512"}, "recon"),
+    ("cnf_primal_tile2048", {"CASPR_TPU_CNF_PRIMAL_TILE": "2048"}, "recon"),
     ("fps_level", {"CASPR_TPU_FPS": "level"}, "encode"),
     ("fused_sa2", {"CASPR_TPU_SA": "fused2"}, "encode"),
     ("interp_dense", {"CASPR_TPU_INTERP": "dense"}, "encode"),
