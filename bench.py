@@ -36,7 +36,12 @@ except ImportError:
 enable_compile_cache()
 import jax.numpy as jnp
 
-BATCH = 16  # throughput batch (saturation point; the reference protocol used 2 on a 16GB V100)
+# throughput batch (saturation point; the reference protocol used 2 on a
+# 16GB V100).  CASPR_BENCH_BATCH overrides for saturation sweeps.
+# r4b sweep on v5e: b16 24.57 / b24 28.41 / b32 29.33 / b48 OOMs the
+# default preset (HBM 17.5G > 15.75G) / b64 OOMs every preset — 32 is
+# the saturation point under the r4 primal-sampling decode.
+BATCH = int(os.environ.get("CASPR_BENCH_BATCH", "32"))
 T, N = 10, 2048
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts", "demo_trained.pkl")

@@ -32,18 +32,30 @@ def pointnetfeat_init(
     }
 
 
+def pointnetfeat_apply_split(params, x):
+    """x: (B, L, input_dim) -> (global (B, out_size), point_feat (B, L, d0)).
+
+    The unbroadcast form: callers that consume the global feature through a
+    linear layer (TPointNet2's fusion conv) can apply their global-weight
+    block to the (B, out_size) vector once per sequence instead of
+    materializing the (B, L, out_size) broadcast — see
+    models/tpointnet2.tpointnet2_apply."""
+    h = jax.nn.relu(group_norm(params["bn1"], conv1x1(params["conv1"], x), NUM_GROUPS))
+    point_feat = h
+    h = jax.nn.relu(group_norm(params["bn2"], conv1x1(params["conv2"], h), NUM_GROUPS))
+    h = group_norm(params["bn3"], conv1x1(params["conv3"], h), NUM_GROUPS)
+    return jnp.max(h, axis=1), point_feat
+
+
 def pointnetfeat_apply(params, x):
     """x: (B, L, input_dim) -> (B, L, out_size + layer_sizes[0]).
 
     Output channel order matches reference pointnet.py:44-46: broadcast
     global feature first, then the per-point (layer-1) features.
     """
-    h = jax.nn.relu(group_norm(params["bn1"], conv1x1(params["conv1"], x), NUM_GROUPS))
-    point_feat = h
-    h = jax.nn.relu(group_norm(params["bn2"], conv1x1(params["conv2"], h), NUM_GROUPS))
-    h = group_norm(params["bn3"], conv1x1(params["conv3"], h), NUM_GROUPS)
-    global_feat = jnp.max(h, axis=1, keepdims=True)  # (B, 1, out)
+    global_feat, point_feat = pointnetfeat_apply_split(params, x)
     global_rep = jnp.broadcast_to(
-        global_feat, (h.shape[0], h.shape[1], h.shape[2])
+        global_feat[:, None, :],
+        (point_feat.shape[0], point_feat.shape[1], global_feat.shape[-1]),
     )
     return jnp.concatenate([global_rep, point_feat], axis=-1)

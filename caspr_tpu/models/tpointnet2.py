@@ -11,6 +11,7 @@ Functional re-design of reference caspr/models/tpointnet2.py:8-123:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -18,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import conv1x1, conv1x1_init, group_norm, group_norm_init
-from .pointnet import pointnetfeat_init, pointnetfeat_apply
+from .pointnet import (
+    pointnetfeat_apply,
+    pointnetfeat_apply_split,
+    pointnetfeat_init,
+)
 from .pointnet2 import PointNet2Config, pointnet2_init, pointnet2_apply
 
 NUM_GROUPS = 16
@@ -99,7 +104,6 @@ def tpointnet2_apply(params, cfg: TPointNet2Config, x):
     b, t, n, _ = x.shape
 
     global_in = x.reshape(b, t * n, 4)
-    global_feat = pointnetfeat_apply(params["global_extract"], global_in)
 
     spatial = x.reshape(b * t, n, 4)[..., :3]
     local_in = augment_input(spatial, cfg.augment_quad, cfg.augment_pairs)
@@ -108,11 +112,39 @@ def tpointnet2_apply(params, cfg: TPointNet2Config, x):
     )
     local_feat = local_feat.reshape(b, t * n, cfg.local_feat_size)
 
-    # local first, then global (tpointnet2.py:96)
-    feat = jnp.concatenate([local_feat, global_feat], axis=-1)
-    feat = jax.nn.relu(
-        group_norm(params["bn1"], conv1x1(params["conv1"], feat), NUM_GROUPS)
-    )
+    if os.environ.get("CASPR_TPU_FACTORED_FUSION", "1") == "1":
+        # Factored fusion conv1.  Channel order is
+        # [local (512) | global_rep (1024) | point_feat (64)]
+        # (local first, then the PointNetfeat output, tpointnet2.py:96) —
+        # and the global_rep block is CONSTANT across all T*N points of a
+        # sequence.  Splitting conv1's weight columns applies the global
+        # block to the (B, 1024) vector once per sequence instead of
+        # broadcasting it over 20480 points: the concat + broadcast
+        # (2 x (B, T*N, 1600+1024) HBM round-trips) disappear and conv1's
+        # per-point contraction narrows 1600 -> 576 input channels.
+        # Same math as the dense conv up to f32 summation order.
+        gvec, point_feat = pointnetfeat_apply_split(
+            params["global_extract"], global_in
+        )
+        dl = cfg.local_feat_size
+        dg = cfg.global_feat_size
+        w = params["conv1"]["weight"]  # (out, in) torch layout
+        h = (
+            conv1x1({"weight": w[:, :dl]}, local_feat)
+            + conv1x1({"weight": w[:, dl + dg:]}, point_feat)
+            + conv1x1(
+                {"weight": w[:, dl:dl + dg],
+                 "bias": params["conv1"]["bias"]}, gvec
+            )[:, None, :]
+        )
+        feat = jax.nn.relu(group_norm(params["bn1"], h, NUM_GROUPS))
+    else:
+        global_feat = pointnetfeat_apply(params["global_extract"], global_in)
+        # local first, then global (tpointnet2.py:96)
+        feat = jnp.concatenate([local_feat, global_feat], axis=-1)
+        feat = jax.nn.relu(
+            group_norm(params["bn1"], conv1x1(params["conv1"], feat), NUM_GROUPS)
+        )
     feat = group_norm(params["bn2"], conv1x1(params["conv2"], feat), NUM_GROUPS)
 
     tnocs = None

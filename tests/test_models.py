@@ -98,6 +98,38 @@ def test_tpointnet2_shapes_and_range():
     assert t.min() >= 0.0 and t.max() <= 1.0  # sigmoid head
 
 
+def test_tpointnet2_factored_fusion_matches_dense(monkeypatch):
+    """The factored fusion conv1 (global-weight block applied to the
+    per-sequence vector instead of a broadcast over T*N points) must match
+    the dense concat path up to f32 summation order."""
+    cfg = TPointNet2Config(sa_points=TINY_SA, ball_samples=TINY_BALLS)
+    p = tpointnet2_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 3, 32, 4))
+
+    monkeypatch.setenv("CASPR_TPU_FACTORED_FUSION", "0")
+    z0_d, tnocs_d = tpointnet2_apply(p, cfg, x)
+    monkeypatch.setenv("CASPR_TPU_FACTORED_FUSION", "1")
+    z0_f, tnocs_f = tpointnet2_apply(p, cfg, x)
+    np.testing.assert_allclose(
+        np.asarray(z0_f), np.asarray(z0_d), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tnocs_f), np.asarray(tnocs_d), rtol=2e-5, atol=2e-5
+    )
+
+    # gradients flow through all three weight blocks identically
+    def loss(params, mode):
+        monkeypatch.setenv("CASPR_TPU_FACTORED_FUSION", mode)
+        z0, tn = tpointnet2_apply(params, cfg, x)
+        return jnp.sum(z0 ** 2) + jnp.sum(tn)
+
+    g_d = jax.grad(loss)(p, "0")["conv1"]["weight"]
+    g_f = jax.grad(loss)(p, "1")["conv1"]["weight"]
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_d), rtol=3e-4, atol=3e-4
+    )
+
+
 def test_latent_ode_identity_at_t0():
     cfg = LatentODEConfig(input_size=8, hidden_size=16)
     p = dynamics_init(KEY, cfg)
