@@ -41,7 +41,10 @@ import jax.numpy as jnp
 # r4b sweep on v5e: b16 24.57 / b24 28.41 / b32 29.33 / b48 OOMs the
 # default preset (HBM 17.5G > 15.75G) / b64 OOMs every preset — 32 is
 # the saturation point under the r4 primal-sampling decode.
-BATCH = int(os.environ.get("CASPR_BENCH_BATCH", "32"))
+try:
+    BATCH = int(os.environ.get("CASPR_BENCH_BATCH", "32"))
+except ValueError:
+    BATCH = 32
 T, N = 10, 2048
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts", "demo_trained.pkl")
@@ -69,6 +72,37 @@ def reference_v100_bound(nfe_cnf: float) -> float:
     flops_per_seq = 3.0 * fwd_flops_per_seq * max(nfe_cnf, 1.0)
     v100_fp32_peak = 15.7e12
     return v100_fp32_peak / flops_per_seq
+
+
+def reference_v100_train_bound(
+    nfe_fwd: float, nfe_bwd: float, b: int = 5, t: int = 5, n: int = 1024
+) -> float:
+    """Upper bound on the reference stack's V100 train-step rate
+    (steps/sec) at the measured NFE split, by the same derived-bound
+    method as reference_v100_bound (BASELINE.md): count ONLY the CNF
+    dynamics matmul FLOPs the reference cannot avoid, credit V100 fp32
+    peak with zero overhead for everything else (encoder, latent ODE,
+    TNOCS loss, optimizer, Python-level RK stepping, memory traffic).
+
+    Per forward NFE the reference runs the concatsquash net forward plus
+    the Hutchinson divergence's torch.autograd.grad (a full backward
+    through the net, ~2x forward: reference caspr/models/odefunc.py:13-31)
+    = ~3x net-forward FLOPs.  Per adjoint (backward) NFE it additionally
+    differentiates that divergence-carrying graph w.r.t. state, params
+    and context (torchdiffeq adjoint; the VJP of a graph costs >= 2x the
+    graph's forward) — credited at only 6x net-forward FLOPs, i.e. the
+    VJP alone with the graph recompute free.  Undercounting the
+    reference's FLOPs makes the returned rate an over-estimate of what a
+    V100 could do, so dividing our measured rate by it LOWER-bounds the
+    true train-step speedup.
+    """
+    dims = [(3, 512), (512, 512), (512, 512), (512, 3)]
+    f_step = 2.0 * b * t * n * sum(a_ * b_ for a_, b_ in dims)
+    flops_per_step = 3.0 * f_step * max(nfe_fwd, 1.0) + 6.0 * f_step * max(
+        nfe_bwd, 0.0
+    )
+    v100_fp32_peak = 15.7e12
+    return v100_fp32_peak / flops_per_step
 
 
 def model_flops_per_seq(nfe_cnf: float, nfe_ode: float) -> float:
@@ -213,6 +247,13 @@ def main(preset: str = "r4-defaults"):
         "mfu_bf16": round(flops_per_sec / V5E_BF16_PEAK, 4),
         "nfe_cnf": round(nfe_cnf, 1),
         "kernel_preset": preset,
+        # which sampling-decode path produced the headline (ADVICE r4:
+        # logged runs should record the active trace-time mode)
+        "decode_mode": (
+            "stacked_dx_div"
+            if os.environ.get("CASPR_TPU_SAMPLE_DIV", "0") == "1"
+            else "primal_only"
+        ),
     }
     if os.environ.get("CASPR_BENCH_TRAIN", "1") == "1":
         # The reference's defining cost is TRAINING (~5 days on 4 GPUs,
@@ -220,17 +261,26 @@ def main(preset: str = "r4-defaults"):
         # train-step measurement alongside reconstruct throughput.
         # CASPR_BENCH_TRAIN=0 opts out (e.g. on a cold compile cache,
         # where the extra jit costs a 10-25 min single-core compile).
-        ms = measure_train_step()
+        ms, nfe_fwd_cnf, nfe_bwd_cnf = measure_train_step()
         record["train_step_ms"] = round(ms, 1)
         record["train_seqs_per_sec"] = round(5 * 1e3 / ms, 2)
+        bound = reference_v100_train_bound(nfe_fwd_cnf, nfe_bwd_cnf) * 5
+        record["train_vs_baseline"] = round(
+            record["train_seqs_per_sec"] / bound, 4
+        )
+        record["train_nfe_cnf_fwd"] = round(nfe_fwd_cnf, 1)
+        record["train_nfe_cnf_bwd"] = round(nfe_bwd_cnf, 1)
     print(json.dumps(record))
 
 
-def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
+def measure_train_step(b=5, t=5, n=1024, iters=5):
     """Full train step (fwd + continuous-adjoint bwd + Adam) at the
     reference full-pipeline recipe shapes (reference README.md:127-136).
     Default-on in the bench JSON (CASPR_BENCH_TRAIN=0 opts out on a cold
-    compile cache); measured history lives in BENCHMARKS.md."""
+    compile cache); measured history lives in BENCHMARKS.md.
+
+    Returns (step_ms, cnf_nfe_forward, cnf_nfe_backward) — the NFE split
+    feeds the derived V100 train bound."""
     import numpy as np
 
     from caspr_tpu.models import CaSPRConfig, CaSPRModel, caspr_init
@@ -259,6 +309,8 @@ def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
         params, opt_state, state, x, tgt, key
     )
     np.asarray(metrics["loss"])
+    nfe_total_cnf = float(np.floor(np.asarray(metrics["nfe"][1])))
+    nfe_fwd_cnf = float(np.floor(np.asarray(metrics["nfe_forward"][1])))
     start = time.perf_counter()
     for i in range(1, iters + 1):
         x, tgt = batch(i)
@@ -266,7 +318,8 @@ def measure_train_step(b=5, t=5, n=1024, iters=5) -> float:
             params, opt_state, state, x, tgt, jax.random.fold_in(key, 100 + i)
         )
     np.asarray(metrics["loss"])
-    return (time.perf_counter() - start) / iters * 1e3
+    ms = (time.perf_counter() - start) / iters * 1e3
+    return ms, nfe_fwd_cnf, max(nfe_total_cnf - nfe_fwd_cnf, 0.0)
 
 
 if __name__ == "__main__":

@@ -523,6 +523,10 @@ def flow_apply(
                 params[i], cfg, x, context, logpx, keys[ki], reverse, nfe_sink
             )
             logpx = None if logpx is None else logpx_out
-            nfe = nfe + block_nfe
+            # OR-combine the +0.5 exhaustion markers instead of adding
+            # (two exhausted blocks would otherwise alias to an integer)
+            from ..ops.odeint import nfe_add
+
+            nfe = nfe_add(nfe, block_nfe)
             ki += 1
     return x, logpx, new_state, nfe

@@ -437,6 +437,25 @@ def nfe_exhausted(nfe) -> bool:
     return bool(_np.asarray(nfe) % 1.0 != 0.0)
 
 
+def nfe_add(a, b):
+    """Sum two NFE counts, OR-ing (not adding) their +0.5 exhaustion
+    markers, so that combining an even number of exhausted solves cannot
+    alias the fractional flag back to an integer.  Traceable (pure jnp);
+    identity on integer-valued (non-discrete-mode) counts."""
+    fa, fb = jnp.floor(a), jnp.floor(b)
+    flag = jnp.maximum(a - fa, b - fb) > 0
+    return fa + fb + 0.5 * flag.astype(jnp.float32)
+
+
+def nfe_sum(arr):
+    """Sum an array of NFE counts with OR-combined exhaustion markers
+    (array companion of :func:`nfe_add`)."""
+    arr = jnp.asarray(arr)
+    fl = jnp.floor(arr)
+    flag = jnp.max(arr - fl) > 0
+    return jnp.sum(fl) + 0.5 * flag.astype(jnp.float32)
+
+
 def odeint_adjoint(
     func: Callable,
     y0: Any,

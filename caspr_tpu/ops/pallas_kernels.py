@@ -76,15 +76,25 @@ def split2_bf16(t):
 
 def _interpret_forced() -> bool:
     """True under pltpu.force_tpu_interpret_mode (kernels execute on the
-    CPU interpreter, so hardware-only constraints don't apply)."""
-    try:
-        from jax._src import config as _jcfg
+    CPU interpreter, so hardware-only constraints don't apply).
 
-        return (
-            _jcfg.pallas_tpu_interpret_mode_context_manager.value is not None
+    Reads the PRIVATE jax._src.config state backing
+    ``pltpu.force_tpu_interpret_mode`` (no public query exists as of
+    jax 0.9).  A missing attribute after a JAX upgrade raises loudly
+    instead of silently returning False — a silent False here would
+    spuriously re-arm hardware-only trace-time guards (e.g. the DMA
+    gather's C%128 check) under interpret-mode tests."""
+    from jax._src import config as _jcfg
+
+    ctx = getattr(_jcfg, "pallas_tpu_interpret_mode_context_manager", None)
+    if ctx is None:
+        raise RuntimeError(
+            "jax._src.config.pallas_tpu_interpret_mode_context_manager "
+            "moved in this JAX version; update "
+            "caspr_tpu.ops.pallas_kernels._interpret_forced to the new "
+            "location of the force_tpu_interpret_mode state."
         )
-    except Exception:
-        return False
+    return ctx.value is not None
 
 
 def _fps_kernel(num_samples, n, xs_ref, ys_ref, zs_ref, idx_ref):
@@ -515,42 +525,67 @@ def _interp3_bwd(res, ct):
 three_interpolate_pallas.defvjp(_interp3_fwd, _interp3_bwd)
 
 
-def _gather_blk_kernel(nblk, tile, c_pad, srct_ref, idx_ref, out_ref):
-    """Block-decomposed in-VMEM lane-shuffle gather.
+def _gather_shuf_kernel(nblk, nsub, c_pad, srct_ref, idx_ref, out_ref):
+    """Block-decomposed in-VMEM lane-shuffle gather (working formulation).
 
     srct: (1, C_pad, N_pad) transposed source table (channels on
     sublanes, points on lanes); idx: (1, 1, tile) int32 in [0, N);
-    out: (1, C_pad, tile).
+    out: (1, C_pad, tile), tile = nsub * 128.
 
-    Per 128-lane source block: replicate the block across the tile
-    width, shuffle within each 128-lane group by the index's low 7 bits
-    (ONE dynamic lane gather per block), and select it into the
-    accumulator where the index's high bits match the block.  Work is
-    ~2*nblk VPU ops per output element — independent of N per element —
-    vs the one-hot kernels' N-wide MXU contraction per row.  Whether
-    Mosaic's dynamic lane gather (jnp.take_along_axis on the lane axis)
-    compiles at these shapes is the hardware question this orientation
-    exists to answer (see tools/probe_dyngather2.py).
+    The r3 `blk` orientation replicated each 128-lane source block
+    across the full tile width and gathered once — Mosaic rejects any
+    dynamic lane gather whose gather dimension spans more than one vreg
+    ("Multiple source vregs along gather dimension").  This version
+    keeps every gather EXACTLY 128 lanes wide: the tile is processed as
+    nsub 128-row subtiles, and each (source block, subtile) pair does
+    one single-vreg-wide dynamic lane shuffle (jnp.take_along_axis,
+    axis=1) keyed by the index's low 7 bits, selected into the
+    subtile's accumulator where the high bits match the block
+    (hardware-verified exact, tools/probe_dyngather2.py: tile=128
+    compiles and returns maxerr=0.0; every wider gather dim fails).
+
+    Work is ~2*nblk VPU ops per 128-row-by-C_pad subtile — independent
+    of N per element — vs the one-hot kernels' N-wide MXU contraction
+    per row, and the copied values are EXACT f32 moves (no split
+    tables, no precision story at all).
     """
-    idx = idx_ref[0, 0]  # (tile,)
-    lo = jax.lax.rem(idx, _LANES)
-    hi = jax.lax.div(idx, _LANES)
-    lo2 = jnp.broadcast_to(lo[None, :], (c_pad, tile))
-    hi2 = jnp.broadcast_to(hi[None, :], (c_pad, tile))
-    grp = (
-        jax.lax.broadcasted_iota(jnp.int32, (c_pad, tile), 1) // _LANES
-    ) * _LANES
-    acc = jnp.zeros((c_pad, tile), jnp.float32)
+    idx = idx_ref[0]  # (1, tile)
+    los = []
+    his = []
+    for s in range(nsub):
+        sl = idx[:, s * _LANES:(s + 1) * _LANES]  # (1, 128)
+        los.append(jnp.broadcast_to(
+            jax.lax.rem(sl, _LANES), (c_pad, _LANES)))
+        his.append(jnp.broadcast_to(
+            jax.lax.div(sl, _LANES), (c_pad, _LANES)))
+    accs = [jnp.zeros((c_pad, _LANES), jnp.float32) for _ in range(nsub)]
     for b in range(nblk):
         blk = srct_ref[0, :, b * _LANES:(b + 1) * _LANES]  # (C_pad, 128)
-        rep = jnp.concatenate([blk] * (tile // _LANES), axis=1)
-        g = jnp.take_along_axis(rep, lo2 + grp, axis=1)
-        acc = jnp.where(hi2 == b, g, acc)
-    out_ref[0] = acc
+        for s in range(nsub):
+            g = jnp.take_along_axis(blk, los[s], axis=1)
+            accs[s] = jnp.where(his[s] == b, g, accs[s])
+    for s in range(nsub):
+        out_ref[0, :, s * _LANES:(s + 1) * _LANES] = accs[s]
+
+
+def _shuf_tile(r_pad: int, c_pad: int) -> int:
+    """Rows per grid step: amortize grid overhead, bound the live
+    per-subtile accumulators (c_pad * tile * 4 bytes) to ~1 MB.
+    CASPR_TPU_GATHER_SHUF_TILE overrides."""
+    try:
+        env = int(os.environ.get("CASPR_TPU_GATHER_SHUF_TILE", "1024"))
+    except ValueError:
+        env = 1024
+    cap = max(_LANES, (1 << 20) // (c_pad * 4) // _LANES * _LANES)
+    tile = min(max(env, _LANES), cap, r_pad)
+    tile = tile // _LANES * _LANES
+    while r_pad % tile:
+        tile -= _LANES
+    return tile
 
 
 @jax.jit
-def _gather_rows_blk_call(src, idx):
+def _gather_rows_shuf_call(src, idx):
     b, n, c = src.shape
     r = idx.shape[1]
     idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
@@ -561,11 +596,9 @@ def _gather_rows_blk_call(src, idx):
     r_pad = _round_up(r, _LANES)
     if r_pad != r:
         idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
-    tile = min(1024, r_pad)
-    while r_pad % tile:
-        tile //= 2
+    tile = _shuf_tile(r_pad, c_pad)
     kernel = functools.partial(
-        _gather_blk_kernel, n_pad // _LANES, tile, c_pad)
+        _gather_shuf_kernel, n_pad // _LANES, tile // _LANES, c_pad)
     out = pl.pallas_call(
         kernel,
         grid=(b, r_pad // tile),
@@ -580,6 +613,13 @@ def _gather_rows_blk_call(src, idx):
         out_shape=jax.ShapeDtypeStruct((b, c_pad, r_pad), jnp.float32),
     )(srct, idx.reshape(b, 1, r_pad))
     return jnp.moveaxis(out[:, :c, :r], 1, 2)
+
+
+def can_gather_shuf(n: int, c: int) -> bool:
+    """Applicability: transposed source table must fit the VMEM budget."""
+    c_pad = _round_up(c, 8)
+    n_pad = _round_up(n, _LANES)
+    return c_pad * n_pad * 4 <= 8 * 1024 * 1024
 
 
 def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
@@ -682,23 +722,25 @@ def gather_rows_pallas(src, idx):
     Matches jnp.take_along_axis semantics bit-for-bit, including the clamp
     of out-of-range indices to [0, N).
 
-    Three dispatchable orientations (CASPR_TPU_GATHER=split|onehot|dma;
-    auto = split): the split-table rows-major kernel
+    Four dispatchable orientations (CASPR_TPU_GATHER=shuf|split|onehot|
+    dma; auto = shuf where the table fits, else split): the
+    block-decomposed lane-shuffle kernel (_gather_shuf_kernel — exact
+    f32 moves, ~2*N/128 VPU ops per output subtile, no MXU contraction;
+    r5 hardware winner), the split-table rows-major kernel
     (_gather_split_kernel, one bf16 MXU pass + exact fold), the original
     (C, rows) HIGHEST-precision contraction (_gather_kernel), and the
     per-row async-copy kernel (_gather_dma_kernel — source stays in
     HBM, so it has no C or source-slab VMEM limit; requires C % 128 == 0
-    on hardware).  The block-decomposed lane-shuffle kernel
-    (_gather_blk_kernel) is RETIRED from dispatch: Mosaic's
-    dynamic-gather lowering rejects it at every tested shape ("Not
-    implemented: Multiple source vregs along gather dimension", r3
-    battery 14_pn2_blk.log / 7_ab_gather.log); the kernel is kept below
-    as a documented negative result.
+    on hardware).  The r3 full-tile-wide lane-shuffle variant ('blk')
+    stays retired: Mosaic rejects any dynamic lane gather wider than
+    one vreg; 'shuf' is its working 128-lane-subtile formulation.
 
     Differentiable: the VJP scatter-adds cotangent rows back to their
     source positions (the transpose of the one-hot contraction), so the
     C<=32 Pallas dispatch in pointops.gather_points is safe for any
     differentiated input."""
+    # default pending the r5 hardware A/B (tools/ab_gather.py); flip to
+    # shuf on its numbers + the exactness gate
     mode = os.environ.get("CASPR_TPU_GATHER", "split")
     if mode == "onehot":
         return _gather_rows_call(src, idx)
@@ -712,9 +754,11 @@ def gather_rows_pallas(src, idx):
     if mode == "blk":
         raise ValueError(
             "CASPR_TPU_GATHER=blk is retired: Mosaic rejects the "
-            "lane-shuffle kernel at every tested shape ('Multiple source "
-            "vregs along gather dimension', r3 battery). Use "
-            "split|onehot|dma.")
+            "full-tile-wide lane shuffle ('Multiple source vregs along "
+            "gather dimension', r3 battery). Use shuf (its working "
+            "128-lane-subtile formulation) or split|onehot|dma.")
+    if mode == "shuf" and can_gather_shuf(src.shape[1], src.shape[2]):
+        return _gather_rows_shuf_call(src, idx)
     return _gather_rows_split_call(src, idx)
 
 

@@ -22,6 +22,7 @@ import optax
 from jax import lax
 
 from ..models import CaSPRModel
+from ..ops.odeint import nfe_add, nfe_sum
 from ..parallel.mesh import global_batch_points
 from .trackers import TestStatTracker, log, print_stats
 
@@ -127,7 +128,7 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight,
                     params, state, xi, ti, ki
                 )
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_i)
-                nfe_acc = jax.tree_util.tree_map(jnp.add, nfe_acc, nfe_i)
+                nfe_acc = jax.tree_util.tree_map(nfe_add, nfe_acc, nfe_i)
                 scalars = {
                     "loss": loss_i,
                     "cnf_loss": aux_i["cnf_loss"],
@@ -162,7 +163,7 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight,
                 "cnf_loss": jnp.mean(ms["cnf_loss"]),
                 "tnocs_loss": jnp.mean(ms["tnocs_loss"]),
                 "mean_nll": jnp.mean(ms["mean_nll"]),
-                "nfe": (jnp.sum(ms["nfe"][:, 0]), jnp.sum(ms["nfe"][:, 1])),
+                "nfe": (nfe_sum(ms["nfe"][:, 0]), nfe_sum(ms["nfe"][:, 1])),
                 "tnocs_per_point": None,
                 "new_state": new_state,
             }
@@ -182,8 +183,10 @@ def make_train_step(model: CaSPRModel, tx, cnf_loss_weight, tnocs_loss_weight,
             # read-NFE-after-backward accounting (train_utils.py:142-148)
             "nfe": jnp.stack(
                 [
-                    aux["nfe"][0].astype(jnp.float32) + nfe_bwd["latent"],
-                    aux["nfe"][1].astype(jnp.float32) + nfe_bwd["cnf"],
+                    nfe_add(aux["nfe"][0].astype(jnp.float32),
+                            nfe_bwd["latent"]),
+                    nfe_add(aux["nfe"][1].astype(jnp.float32),
+                            nfe_bwd["cnf"]),
                 ]
             ),
             "nfe_forward": jnp.stack(

@@ -28,7 +28,7 @@ def pallas_env(monkeypatch):
 def test_gather_orientations_lower_for_tpu(pallas_env, monkeypatch):
     src = jnp.zeros((4, 1024, 35), jnp.float32)
     idx = jnp.zeros((4, 640), jnp.int32)
-    for orientation in ("split", "onehot", "dma", "blk"):
+    for orientation in ("split", "onehot", "dma", "shuf"):
         monkeypatch.setenv("CASPR_TPU_GATHER", orientation)
         monkeypatch.setenv(
             "CASPR_TPU_GATHER_MAXC", "64"

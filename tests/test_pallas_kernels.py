@@ -133,7 +133,7 @@ def test_gather_rows_split_matches_onehot_interpret(monkeypatch):
     want = np.asarray(
         jnp.take_along_axis(src, jnp.clip(idx, 0, 159)[:, :, None], axis=1)
     )
-    for mode in ("split", "onehot", "dma"):
+    for mode in ("split", "onehot", "dma", "shuf"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(gather_rows_pallas(src, idx))
@@ -181,7 +181,7 @@ def test_gather_rows_pallas_grad_interpret(monkeypatch):
         return jnp.sum(jnp.take_along_axis(s, idx[:, :, None], axis=1) * ct)
 
     g_xla = np.asarray(jax.grad(loss_xla)(src))
-    for mode in ("split", "onehot", "dma"):
+    for mode in ("split", "onehot", "dma", "shuf"):
         monkeypatch.setenv("CASPR_TPU_GATHER", mode)
         with pltpu.force_tpu_interpret_mode():
             g_pl = np.asarray(jax.grad(loss_pl)(src))

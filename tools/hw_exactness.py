@@ -9,7 +9,12 @@ any violation, so a numerically wrong flag can never ship as a default
 again.  Wired in as hw_battery.sh stage 0.5; also runnable standalone.
 
 Budget thresholds (not vibes):
-  gather (split/onehot):   bit-exact (0.0) vs take_along_axis
+  gather (split/onehot/shuf): bit-exact (0.0) vs take_along_axis
+  chamfer (batched):       <= 1e-5 rel vs float64 brute force (value is
+                           the exact f32 diff-form; selection slack is
+                           tie-gap bounded)
+  EMD (Pallas forward):    <= 2e-5 rel vs the XLA annealed composition
+                           (r3 hardware: ~5e-6)
   three_interpolate:       <= 2e-4 rel (designed 4-pass scheme drops an
                            O(2^-16) term; see _interp3_kernel docstring)
   sa_scale_factored:       <= 5e-2 rel vs HIGHEST-precision reference
@@ -69,6 +74,24 @@ def main():
                 check(f"{name} C={c}", err, 0.0)
             except Exception as e:  # Mosaic rejection is also a failure
                 crash(f"{name} C={c}", e)
+
+    # --- shuf gather: exact f32 lane-shuffle moves, incl. the big-C
+    # regime the MXU kernels cannot reach (FP-interp tables) -------------
+    from caspr_tpu.ops.pallas_kernels import _gather_rows_shuf_call
+    for (nn2, c2, r2) in ((2048, 3, 8192), (2048, 32, 8192),
+                          (1024, 512, 2048), (512, 67, 1000)):
+        src = jnp.asarray(
+            rng.standard_normal((4, nn2, c2), dtype=np.float32) * 4)
+        idx = jnp.asarray(rng.integers(0, nn2, (4, r2)), dtype=jnp.int32)
+        ref = np.asarray(jnp.take_along_axis(
+            src, idx[:, :, None].astype(jnp.int32), axis=1))
+        try:
+            err = float(
+                np.abs(np.asarray(_gather_rows_shuf_call(src, idx)) - ref)
+                .max())
+            check(f"gather_shuf N={nn2} C={c2}", err, 0.0)
+        except Exception as e:
+            crash(f"gather_shuf N={nn2} C={c2}", e)
 
     # --- DMA gather at its one legal regime (lane-aligned C) -------------
     from caspr_tpu.ops.pallas_kernels import _gather_rows_dma_call
@@ -184,6 +207,63 @@ def main():
         check("fps prefix property", err, 0.0)
     except Exception as e:
         crash("fps prefix property", e)
+
+    # --- batched chamfer vs float64 brute-force oracle --------------------
+    # These two kernels (chamfer + EMD) DEFINE the reported quality
+    # metrics; the r4 verdict flagged that the gate's "every
+    # default-dispatched kernel" philosophy excluded exactly them.
+    try:
+        from caspr_tpu.ops.metrics import chamfer_distance
+        bb, nn_, mm = 6, 2048, 2048
+        p = rng.standard_normal((bb, nn_, 3)).astype(np.float32) * 0.3
+        g = rng.standard_normal((bb, mm, 3)).astype(np.float32) * 0.3
+        # near-tie stressor: duplicate a gt point at ~1e-6 displacement so
+        # argmin selection noise is exercised (select-then-refine bounds
+        # the value error by the tie gap)
+        g[0, 1] = g[0, 0] + 1e-6
+        p[0, 0] = g[0, 0] + 5e-7
+        d1, d2 = chamfer_distance(jnp.asarray(p), jnp.asarray(g))
+        d1, d2 = np.asarray(d1, np.float64), np.asarray(d2, np.float64)
+        err = 0.0
+        for i in range(bb):
+            diff = (p[i].astype(np.float64)[:, None, :]
+                    - g[i].astype(np.float64)[None, :, :])
+            dd = (diff * diff).sum(-1)
+            ref1, ref2 = dd.min(1), dd.min(0)
+            sc = max(ref1.mean(), ref2.mean())
+            err = max(err,
+                      float(np.abs(d1[i] - ref1).max() / sc),
+                      float(np.abs(d2[i] - ref2).max() / sc))
+        # budget: f32 rounding of the exact diff-form value (~1e-7 rel)
+        # plus a tie-gap-bounded selection slack
+        check("chamfer batched vs f64 oracle", err, 1e-5)
+    except Exception as e:
+        crash("chamfer batched vs f64 oracle", e)
+
+    # --- Pallas EMD forward vs the XLA annealed-match composition ---------
+    try:
+        from jax import lax
+
+        from caspr_tpu.ops.metrics import (
+            _approx_match, _match_cost, _emd_fwd_impl)
+        bb = 6
+        a = jnp.asarray(
+            rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3)
+        c_ = jnp.asarray(
+            rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3)
+        got = np.asarray(_emd_fwd_impl(a, c_), np.float64)
+
+        def one(args):
+            x1, x2 = args
+            return _match_cost(x1, x2, _approx_match(x1, x2))
+
+        ref = np.asarray(lax.map(one, (a, c_)), np.float64)
+        err = float(np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9))
+        # r3 hardware measurement: ~5e-6 relative between the two
+        # compositions (same algorithm, different accumulation order)
+        check("emd pallas vs xla composition", err, 2e-5)
+    except Exception as e:
+        crash("emd pallas vs xla composition", e)
 
     # --- fused-d2 ball query == XLA d2 path ------------------------------
     try:

@@ -59,6 +59,8 @@ CASES = [
     ("gather_dma_allc", {"CASPR_TPU_GATHER_DMA_ALLC": "1"}, "encode"),
     # gather_blk RETIRED: Mosaic rejects the lane-shuffle kernel at every
     # tested shape (r3 battery); dispatch now raises ValueError for it.
+    # 'shuf' (r5) is its working 128-lane-subtile formulation.
+    ("gather_shuf", {"CASPR_TPU_GATHER": "shuf"}, "encode"),
     ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
     ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
     ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),

@@ -41,26 +41,38 @@ def sync(o):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def batch(key, i):
-    kx, kt = jax.random.split(jax.random.fold_in(key, i))
-    x = jax.random.uniform(kx, (B, T, N, 4))
-    times = jnp.sort(jax.random.uniform(kt, (B, T)), axis=1)
+def batch(i):
+    # Host-side numpy generation: eager jax.random ops (fold_in/uniform)
+    # intermittently raise INVALID_ARGUMENT on the remote axon backend
+    # (r4b battery stage 7 traceback) — keep the timing loop free of
+    # eager device PRNG work.
+    rng = np.random.default_rng(1000 + i)
+    x = rng.uniform(size=(B, T, N, 4)).astype(np.float32)
+    times = np.sort(rng.uniform(size=(B, T)).astype(np.float32), axis=1)
     times = times - times[:, :1]
-    x = x.at[..., 3].set(times[:, :, None] * 5.0)
-    tgt = jax.random.uniform(kt, (B, T, N, 4))
-    tgt = tgt.at[..., 3].set(times[:, :, None])
-    return x, tgt
+    x[..., 3] = times[:, :, None] * 5.0
+    tgt = rng.uniform(size=(B, T, N, 4)).astype(np.float32)
+    tgt[..., 3] = times[:, :, None]
+    return jnp.asarray(x), jnp.asarray(tgt)
+
+
+def host_key(i):
+    """PRNGKey-compatible uint32 pair derived host-side (no eager device
+    PRNG dispatch; consumed only inside jitted programs)."""
+    rng = np.random.default_rng(7 + i)
+    return jnp.asarray(rng.integers(0, 2**32, size=(2,), dtype=np.uint32))
 
 
 def timeit(name, fn, key, *args):
     """fn(x, tgt, k, *args); inputs regenerated per iteration."""
-    x, tgt = batch(key, 0)
-    out = fn(x, tgt, key, *args)
+    del key
+    x, tgt = batch(0)
+    out = fn(x, tgt, host_key(0), *args)
     sync(out)
     start = time.perf_counter()
     for i in range(1, ITERS + 1):
-        x, tgt = batch(key, i)
-        out = fn(x, tgt, jax.random.fold_in(key, 100 + i), *args)
+        x, tgt = batch(i)
+        out = fn(x, tgt, host_key(100 + i), *args)
     sync(out)
     dt = (time.perf_counter() - start) / ITERS * 1e3
     print(f"  {name:40s}: {dt:8.1f} ms", flush=True)
