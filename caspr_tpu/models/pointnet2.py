@@ -212,6 +212,12 @@ def _sa_impl(cfg, sp, xyz, new_xyz, k) -> str:
         if can_fuse_sa2(sp, xyz.shape[1], new_xyz.shape[1], k, NUM_GROUPS):
             return "fused2"
         return "xla"
+    if mode == "fused3":
+        from ..ops.sa_fused2 import can_fuse_sa3
+
+        if can_fuse_sa3(sp, xyz.shape[1], new_xyz.shape[1], k, NUM_GROUPS):
+            return "fused3"
+        return "factored" if len(sp["convs"]) == 3 else "xla"
     if mode in ("auto", "factored") and len(sp["convs"]) == 3:
         return "factored"
     return "xla"
@@ -290,6 +296,14 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
 
                 scale_feats.append(
                     fused_sa_scale2(sp, xyz, features, new_xyz, gidx, k,
+                                    NUM_GROUPS)
+                )
+                continue
+            if impl == "fused3":
+                from ..ops.sa_fused2 import fused_sa_scale3
+
+                scale_feats.append(
+                    fused_sa_scale3(sp, xyz, features, new_xyz, gidx, k,
                                     NUM_GROUPS)
                 )
                 continue

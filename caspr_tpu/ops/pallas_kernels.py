@@ -496,6 +496,82 @@ def three_interpolate_vmem_ok(m, c) -> bool:
     return _interp3_tile(m, c) >= 8
 
 
+def _interp3_shuf_kernel(nblk, nsub, c_pad, ft_ref, idx_ref, w_ref, out_ref):
+    """three_interpolate via the lane-shuffle gather (see
+    _gather_shuf_kernel): ft (1, C_pad, M_pad) transposed source
+    features; idx (1, 4, tile) int32 (3 valid rows); w (1, 4, tile) f32;
+    out (1, C_pad, tile) channels-major.
+
+    out[:, r] = sum_j w[j, r] * ft[:, idx[j, r]] — the three gathered
+    columns are EXACT f32 moves and the weighted accumulation runs in
+    f32 on the VPU, so this orientation is exact to f32 rounding of the
+    3-term sum (the MXU orientation drops an O(2^-18) cross term).
+    """
+    accs = [jnp.zeros((c_pad, _LANES), jnp.float32) for _ in range(nsub)]
+    los, his, ws = [], [], []
+    for s in range(nsub):
+        sl = idx_ref[0, :3, s * _LANES:(s + 1) * _LANES]  # (3, 128)
+        wl = w_ref[0, :3, s * _LANES:(s + 1) * _LANES]
+        los.append([jnp.broadcast_to(
+            jax.lax.rem(sl[j:j + 1], _LANES), (c_pad, _LANES))
+            for j in range(3)])
+        his.append([jnp.broadcast_to(
+            jax.lax.div(sl[j:j + 1], _LANES), (c_pad, _LANES))
+            for j in range(3)])
+        ws.append([jnp.broadcast_to(wl[j:j + 1], (c_pad, _LANES))
+                   for j in range(3)])
+    for b in range(nblk):
+        blk = ft_ref[0, :, b * _LANES:(b + 1) * _LANES]  # (C_pad, 128)
+        for s in range(nsub):
+            for j in range(3):
+                g = jnp.take_along_axis(blk, los[s][j], axis=1)
+                accs[s] = jnp.where(
+                    his[s][j] == b, accs[s] + ws[s][j] * g, accs[s])
+    for s in range(nsub):
+        out_ref[0, :, s * _LANES:(s + 1) * _LANES] = accs[s]
+
+
+@jax.jit
+def _three_interpolate_shuf_call(features, idx, weights):
+    b, m, c = features.shape
+    n = idx.shape[1]
+    c_pad = _round_up(c, 8)
+    m_pad = _round_up(m, _LANES)
+    ft = jnp.moveaxis(features, 1, 2)  # (B, C, M)
+    ft = jnp.pad(ft, ((0, 0), (0, c_pad - c), (0, m_pad - m)))
+    n_pad = _round_up(n, _LANES)
+    idx4 = jnp.clip(idx.astype(jnp.int32), 0, m - 1)
+    idx4 = jnp.pad(jnp.moveaxis(idx4, 1, 2),
+                   ((0, 0), (0, 1), (0, n_pad - n)))  # (B, 4, N_pad)
+    w4 = jnp.pad(jnp.moveaxis(weights.astype(jnp.float32), 1, 2),
+                 ((0, 0), (0, 1), (0, n_pad - n)))
+    tile = _shuf_tile(n_pad, c_pad)
+    kernel = functools.partial(
+        _interp3_shuf_kernel, m_pad // _LANES, tile // _LANES, c_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, c_pad, m_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_pad, tile), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_pad, n_pad), jnp.float32),
+    )(ft, idx4, w4)
+    return jnp.moveaxis(out[:, :c, :n], 1, 2)
+
+
+def can_interp_shuf(m: int, c: int) -> bool:
+    """Applicability of the shuf interpolation: transposed feature table
+    within the VMEM budget (same rule as can_gather_shuf)."""
+    return can_gather_shuf(m, c)
+
+
 @jax.custom_vjp
 def three_interpolate_pallas(features, idx, weights):
     """Fused three_interpolate: features (B, M, C) f32, idx (B, N, 3)
@@ -523,6 +599,23 @@ def _interp3_bwd(res, ct):
 
 
 three_interpolate_pallas.defvjp(_interp3_fwd, _interp3_bwd)
+
+
+@jax.custom_vjp
+def three_interpolate_shuf(features, idx, weights):
+    """three_interpolate via exact f32 lane-shuffle gathers + f32 VPU
+    accumulation (see _interp3_shuf_kernel).  Same interface/VJP as
+    three_interpolate_pallas; values exact to f32 rounding of the
+    3-term weighted sum."""
+    return _three_interpolate_shuf_call(features, idx, weights)
+
+
+def _interp3s_fwd(features, idx, weights):
+    return three_interpolate_shuf(features, idx, weights), (
+        features, idx, weights)
+
+
+three_interpolate_shuf.defvjp(_interp3s_fwd, _interp3_bwd)
 
 
 def _gather_shuf_kernel(nblk, nsub, c_pad, srct_ref, idx_ref, out_ref):
@@ -616,10 +709,15 @@ def _gather_rows_shuf_call(src, idx):
 
 
 def can_gather_shuf(n: int, c: int) -> bool:
-    """Applicability: transposed source table must fit the VMEM budget."""
+    """Applicability: transposed source table within the measured
+    envelope.  2 MB tables (C=512 x N=1024) compile and win on hardware;
+    the 4 MB C=512 x N=2048 case is rejected by the backend compiler
+    (r5 ab_gather: tpu_compile_helper exit 1) — likely the kernel's
+    unrolled shuffle count at nblk=16, so the guard is the table size
+    that bounds it."""
     c_pad = _round_up(c, 8)
     n_pad = _round_up(n, _LANES)
-    return c_pad * n_pad * 4 <= 8 * 1024 * 1024
+    return c_pad * n_pad * 4 <= 2 * 1024 * 1024
 
 
 def _gather_dma_kernel(tile, nsem, idx_ref, src_ref, out_ref, sems):
@@ -739,9 +837,11 @@ def gather_rows_pallas(src, idx):
     source positions (the transpose of the one-hot contraction), so the
     C<=32 Pallas dispatch in pointops.gather_points is safe for any
     differentiated input."""
-    # default pending the r5 hardware A/B (tools/ab_gather.py); flip to
-    # shuf on its numbers + the exactness gate
-    mode = os.environ.get("CASPR_TPU_GATHER", "split")
+    # default = shuf from the r5 hardware A/B (tools/ab_gather.py,
+    # /tmp/r5 4_ab_gather: 1.9-3.4x over split at every SA shape,
+    # 6-12x over XLA at the FP shapes) + bit-exactness at every gated
+    # shape (hw_exactness stage)
+    mode = os.environ.get("CASPR_TPU_GATHER", "shuf")
     if mode == "onehot":
         return _gather_rows_call(src, idx)
     if mode == "dma":

@@ -124,6 +124,9 @@ def gather_points(points, idx):
     # split kernel.  VMEM guard on the source slab.
     max_c = int(os.environ.get("CASPR_TPU_GATHER_MAXC", "32"))
     src_vmem = n * (((c + 127) // 128) * 128) * 4
+    mode = os.environ.get("CASPR_TPU_GATHER", "shuf")
+    from .pallas_kernels import can_gather_shuf
+
     if (
         _use_pallas()
         and points.dtype == jnp.float32
@@ -141,8 +144,13 @@ def gather_points(points, idx):
     elif (
         _use_pallas()
         and points.dtype == jnp.float32
-        and c <= max_c
-        and src_vmem <= 4 * 1024 * 1024
+        and (
+            # the lane-shuffle orientation has no channel-width cliff
+            # (its per-element work is independent of C), so in shuf
+            # mode every site whose table fits VMEM takes the kernel
+            (mode == "shuf" and can_gather_shuf(n, c))
+            or (c <= max_c and src_vmem <= 4 * 1024 * 1024)
+        )
     ):
         from .pallas_kernels import gather_rows_pallas
 
@@ -267,17 +275,21 @@ def three_interpolate(features, idx, weights):
     m, c = features.shape[1], features.shape[2]
     if _use_pallas() and features.dtype == jnp.float32 and m <= 2048:
         from .pallas_kernels import (
+            can_interp_shuf,
             three_interpolate_pallas,
+            three_interpolate_shuf,
             three_interpolate_vmem_ok,
         )
 
-        # The Pallas kernel builds the interpolation matrix in-VMEM
-        # (the dense path materializes it + bf16 copies in HBM);
+        # Two Pallas orientations: 'shuf' gathers the three source rows
+        # with exact f32 lane shuffles and accumulates in f32 on the VPU
+        # (r5); 'pallas' builds the interpolation matrix in-VMEM and
+        # rides the MXU with the 4-product bf16 split scheme.
         # CASPR_TPU_INTERP=dense keeps the XLA path for A/B.
-        if (
-            os.environ.get("CASPR_TPU_INTERP", "pallas") == "pallas"
-            and three_interpolate_vmem_ok(m, c)
-        ):
+        mode = os.environ.get("CASPR_TPU_INTERP", "pallas")
+        if mode == "shuf" and can_interp_shuf(m, c):
+            return three_interpolate_shuf(features, idx, weights)
+        if mode in ("pallas", "shuf") and three_interpolate_vmem_ok(m, c):
             return three_interpolate_pallas(features, idx, weights)
         return _three_interpolate_dense(features, idx, weights)
     gathered = gather_points(features, idx)  # (B, N, 3, C)

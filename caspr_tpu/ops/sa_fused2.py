@@ -248,6 +248,186 @@ def _sa2_call(w1t, b1, w2t, w3t, pk, xyz, features, new_xyz, gidx, *, k,
     )(tpack, u, idx, w2t, w3t, pk)
 
 
+def _sa3_kernel(n_pad, k, tile_m, d1, d2, d3, num_groups,
+                tt_ref, u_ref, idx_ref, w2_ref, w3_ref, pk_ref, out_ref):
+    """v3: the v2 fused SA scale with the one-hot MXU gather replaced by
+    the lane-shuffle gather (see pallas_kernels._gather_shuf_kernel).
+
+    tt: (1, d1, N_pad) f32 TRANSPOSED factored-conv1 table (channels on
+    sublanes, source points on lanes) — gathered columns are exact f32
+    moves, so the bf16 split/fold machinery of v2 disappears; the rest
+    (segment-matmul GroupNorm, convs, ball max) is v2 verbatim.  Each
+    gathered (d1, 128) subtile is transposed in-VMEM to rows-major.
+    """
+    rows = tile_m * k
+    idx = idx_ref[0]  # (1, rows)
+    nblk = n_pad // _LANES
+    nsub = rows // _LANES
+
+    subs = []
+    los, his = [], []
+    for s in range(nsub):
+        sl = idx[:, s * _LANES:(s + 1) * _LANES]  # (1, 128)
+        los.append(jnp.broadcast_to(jax.lax.rem(sl, _LANES), (d1, _LANES)))
+        his.append(jnp.broadcast_to(jax.lax.div(sl, _LANES), (d1, _LANES)))
+        subs.append(jnp.zeros((d1, _LANES), jnp.float32))
+    for blk_i in range(nblk):
+        blk = tt_ref[0, :, blk_i * _LANES:(blk_i + 1) * _LANES]  # (d1, 128)
+        for s in range(nsub):
+            gg = jnp.take_along_axis(blk, los[s], axis=1)
+            subs[s] = jnp.where(his[s] == blk_i, gg, subs[s])
+    g = jnp.concatenate(
+        [jnp.transpose(sub) for sub in subs], axis=0)  # (rows, d1)
+
+    # constant segment matrices (center-major rows), built directly in
+    # both orientations — no relayout transposes
+    smt = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, tile_m), 0) // k
+        == jax.lax.broadcasted_iota(jnp.int32, (rows, tile_m), 1)
+    ).astype(jnp.float32)                              # (rows, tile_m)
+    sm = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_m, rows), 1) // k
+        == jax.lax.broadcasted_iota(jnp.int32, (tile_m, rows), 0)
+    ).astype(jnp.float32)                              # (tile_m, rows)
+
+    z = g - _hdot(smt, u_ref[0])
+
+    def group_norm(x, d, gnw, gnb):
+        grp = num_groups
+        cg = d // grp
+        c_div = jax.lax.broadcasted_iota(jnp.int32, (d, grp), 0) // cg
+        g_ids = jax.lax.broadcasted_iota(jnp.int32, (d, grp), 1)
+        gsum = (c_div == g_ids).astype(jnp.float32)    # (d, grp)
+        gsum_t = jnp.transpose(gsum)                   # (grp, d)
+        inv = 1.0 / (k * cg)
+
+        def seg_stats(s):
+            per_center = _hdot(sm, s)                  # (tile_m, d)
+            per_group = _hdot(per_center, gsum) * inv  # (tile_m, grp)
+            return _hdot(_hdot(smt, per_group), gsum_t)  # (rows, d)
+
+        mean = seg_stats(x)
+        centered = x - mean
+        var = seg_stats(centered * centered)
+        return centered * jax.lax.rsqrt(var + _EPS) * gnw + gnb
+
+    dims = (d1, d2, d3)
+    for li in range(3):
+        d = dims[li]
+        if li > 0:  # conv1 is pre-applied via the factored gather
+            bias = pk_ref[li - 1:li, :d]
+            z = _dot(z, (w2_ref if li == 1 else w3_ref)[:]) + bias
+        gnw = pk_ref[2 + li:3 + li, :d]
+        gnb = pk_ref[5 + li:6 + li, :d]
+        z = group_norm(z, d, gnw, gnb)
+        if li < 2:
+            z = jnp.maximum(z, 0.0)
+
+    out_ref[0] = jnp.max(z.reshape(tile_m, k, d3), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_groups", "max_rows"))
+def _sa3_call(w1t, b1, w2t, w3t, pk, xyz, features, new_xyz, gidx, *, k,
+              num_groups, max_rows):
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    d1, d2, d3 = w1t.shape[1], w2t.shape[1], w3t.shape[1]
+
+    wx, wf = w1t[:3], w1t[3:]
+    t = _hdot(xyz.reshape(b * n, 3), wx) + b1
+    if features is not None:
+        t = t + _hdot(features.reshape(b * n, -1), wf)
+    n_pad = _round_up(n, _LANES)
+    tt = jnp.moveaxis(t.reshape(b, n, d1), 1, 2)       # (B, d1, N)
+    tt = jnp.pad(tt, ((0, 0), (0, 0), (0, n_pad - n)))
+    u = _hdot(new_xyz.reshape(b * m, 3), wx).reshape(b, m, d1)
+
+    # rows per grid step must be a 128-multiple for the subtile shuffles;
+    # tile_m * k with k in {16, 32} and tile_m a power of two >= 8 is.
+    tile_m = _tile_m_for(m, k, n, max_rows)
+    while tile_m * k % _LANES and tile_m * 2 <= m and m % (tile_m * 2) == 0:
+        tile_m *= 2
+    rows = tile_m * k
+    if rows % _LANES:
+        raise ValueError(f"sa3 tile rows {rows} not lane-aligned")
+    idx = jnp.clip(gidx.reshape(b, 1, m * k).astype(jnp.int32), 0, n - 1)
+    kernel = functools.partial(
+        _sa3_kernel, n_pad, k, tile_m, d1, d2, d3, num_groups
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, m // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, d1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, d1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2t.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w3t.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(pk.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_m, d3), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, d3), jnp.float32),
+    )(tt, u, idx, w2t, w3t, pk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_sa_scale3(sp, xyz, features, new_xyz, gidx, k, num_groups=16):
+    """Fused grouping + mini-PointNet for one SA scale, v3: lane-shuffle
+    gather (exact f32) + in-VMEM convs/GroupNorm/ball-max.  Same
+    interface/semantics as fused_sa_scale2; the grouped (B, M, K, C)
+    tensor never exists in HBM AND the gather does no N-wide MXU
+    contraction (what sank v1/v2 at SA density, BENCHMARKS.md)."""
+    del k
+    w1t = jnp.transpose(sp["convs"][0]["weight"])  # (3+C, d1)
+    w2t = jnp.transpose(sp["convs"][1]["weight"])
+    w3t = jnp.transpose(sp["convs"][2]["weight"])
+    dims = [c["weight"].shape[0] for c in sp["convs"]]
+    pk = _pack_vectors2(sp, dims, max(dims))
+    return _sa3_call(
+        w1t, sp["convs"][0]["bias"], w2t, w3t, pk,
+        xyz, features, new_xyz, gidx,
+        k=gidx.shape[-1], num_groups=num_groups, max_rows=_max_rows(),
+    )
+
+
+def _fused_sa3_fwd(sp, xyz, features, new_xyz, gidx, k, num_groups):
+    out = fused_sa_scale3(sp, xyz, features, new_xyz, gidx, k, num_groups)
+    return out, (sp, xyz, features, new_xyz, gidx)
+
+
+def _fused_sa3_bwd(k, num_groups, res, ct):
+    # same rematerializing backward as v2 (_fused_sa2_bwd, defined below)
+    return _fused_sa2_bwd(k, num_groups, res, ct)
+
+
+fused_sa_scale3.defvjp(_fused_sa3_fwd, _fused_sa3_bwd)
+
+
+def can_fuse_sa3(sp, n, m, k, num_groups=16) -> bool:
+    """Applicability of the v3 kernel: 3-conv mini-PointNet, GroupNorm-
+    divisible dims, transposed t-table within VMEM, lane-aligned rows."""
+    if len(sp["convs"]) != 3:
+        return False
+    dims = [c["weight"].shape[0] for c in sp["convs"]]
+    if any(d % num_groups for d in dims):
+        return False
+    d1 = dims[0]
+    n_pad = _round_up(n, _LANES)
+    if d1 * n_pad * 4 > 6 * 1024 * 1024:
+        return False
+    tile_m = _tile_m_for(m, k, n)
+    while tile_m * k % _LANES and tile_m * 2 <= m and m % (tile_m * 2) == 0:
+        tile_m *= 2
+    return m % tile_m == 0 and tile_m * k % _LANES == 0
+
+
 def sa_scale_factored(sp, xyz, features, new_xyz, gidx, num_groups=16):
     """Pure-XLA SA scale with the first conv factored through the gather
     (idea 1 of the module docstring, without the kernel):

@@ -220,6 +220,46 @@ def test_three_interpolate_pallas_matches_dense_interpret():
     np.testing.assert_allclose(np.asarray(gw_pl), np.asarray(gw_d), atol=1e-6)
 
 
+def test_three_interpolate_shuf_matches_exact_interpret():
+    """The shuf interpolation orientation (exact f32 lane-shuffle
+    gathers + f32 VPU MAC) must match an exact f64 oracle to f32
+    rounding, and its gradients the dense composition's."""
+    from caspr_tpu.ops.pallas_kernels import three_interpolate_shuf
+    from caspr_tpu.ops.pointops import _three_interpolate_dense
+
+    rng = np.random.RandomState(14)
+    feats_np = rng.randn(2, 50, 70).astype(np.float32)
+    idx_np = rng.randint(0, 50, size=(2, 90, 3)).astype(np.int32)
+    w_np = rng.rand(2, 90, 3).astype(np.float32)
+    w_np /= w_np.sum(-1, keepdims=True)
+    feats, idx, w = map(jnp.asarray, (feats_np, idx_np, w_np))
+    ref = np.einsum(
+        "bnj,bnjc->bnc",
+        w_np.astype(np.float64),
+        np.take_along_axis(
+            feats_np.astype(np.float64)[:, None],
+            idx_np[..., None].transpose(0, 2, 1, 3), axis=2
+        ).transpose(0, 2, 1, 3),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(three_interpolate_shuf(feats, idx, w))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+
+    ct = jnp.asarray(rng.randn(2, 90, 70).astype(np.float32))
+
+    def loss_sh(f, ww):
+        return jnp.sum(three_interpolate_shuf(f, idx, ww) * ct)
+
+    def loss_dense(f, ww):
+        return jnp.sum(_three_interpolate_dense(f, idx, ww) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf_s, gw_s = jax.grad(loss_sh, argnums=(0, 1))(feats, w)
+    gf_d, gw_d = jax.grad(loss_dense, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d), atol=1e-6)
+
+
 def test_gather_points_group_points_dispatch_interpret(monkeypatch):
     """group_points through the Pallas gather must equal the XLA path."""
     from caspr_tpu.ops.pointops import ball_query_xla, group_points

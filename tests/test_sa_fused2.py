@@ -222,3 +222,82 @@ def test_sa_factored_bf16_acts_close(monkeypatch):
         sa_scale_factored(sp, xyz, feats, new_xyz, gidx, 16)
     )
     np.testing.assert_allclose(got, base, rtol=0.06, atol=0.02)
+
+
+# ------------------------------------------------------------------ v3
+
+
+def test_fused3_matches_xla_interpret():
+    from caspr_tpu.ops.sa_fused2 import can_fuse_sa3, fused_sa_scale3
+
+    sp, xyz, feats, new_xyz, gidx = _setup()
+    assert can_fuse_sa3(sp, 64, 16, 8)
+    want = np.asarray(_xla_reference(sp, xyz, feats, new_xyz, gidx, 16))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused_sa_scale3(sp, xyz, feats, new_xyz, gidx, 8, 16))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused3_small_radius_reference_shapes_interpret():
+    from caspr_tpu.ops.sa_fused2 import fused_sa_scale3
+
+    # SA1 scale-2-like: K=32, dims (32, 32, 64), tight balls
+    sp, xyz, feats, new_xyz, gidx = _setup(
+        key=2, b=1, n=128, m=32, k=32, c_feat=6, dims=(32, 32, 64),
+        radius=0.05,
+    )
+    want = np.asarray(_xla_reference(sp, xyz, feats, new_xyz, gidx, 16))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            fused_sa_scale3(sp, xyz, feats, new_xyz, gidx, 32, 16)
+        )
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fused3_gradients_match_xla():
+    from caspr_tpu.ops.sa_fused2 import fused_sa_scale3
+
+    sp, xyz, feats, new_xyz, gidx = _setup(key=3)
+
+    def loss_fused(p, x, f, nx):
+        with pltpu.force_tpu_interpret_mode():
+            h = fused_sa_scale3(p, x, f, nx, gidx, 8, 16)
+        return jnp.sum(h * h)
+
+    def loss_xla(p, x, f, nx):
+        return jnp.sum(_xla_reference(p, x, f, nx, gidx, 16) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(sp, xyz, feats, new_xyz)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(sp, xyz, feats, new_xyz)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_pointnet2_apply_fused3_vs_xla(monkeypatch):
+    from caspr_tpu.models.pointnet2 import (
+        PointNet2Config,
+        pointnet2_apply,
+        pointnet2_init,
+    )
+
+    cfg = PointNet2Config(
+        in_features=6,
+        num_classes=32,
+        max_feat_prop_size=32,
+        sa_points=(32, 16, 16, 8, 8),
+        ball_samples=(4, 8),
+    )
+    key = jax.random.PRNGKey(4)
+    params = pointnet2_init(key, cfg)
+    pts = jax.random.uniform(key, (2, 64, 9))
+
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "xla")
+    want = np.asarray(pointnet2_apply(params, cfg, pts))
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "pallas")
+    monkeypatch.setenv("CASPR_TPU_SA", "fused3")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pointnet2_apply(params, cfg, pts))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

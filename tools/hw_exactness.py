@@ -13,8 +13,12 @@ Budget thresholds (not vibes):
   chamfer (batched):       <= 1e-5 rel vs float64 brute force (value is
                            the exact f32 diff-form; selection slack is
                            tie-gap bounded)
-  EMD (Pallas forward):    <= 2e-5 rel vs the XLA annealed composition
-                           (r3 hardware: ~5e-6)
+  EMD (Pallas forward):    <= max(2x XLA's error, 2e-4) rel vs a float64
+                           oracle (the annealed matching is iterative —
+                           faithful impls diverge ~1e-4 from each other)
+  ball query (fused-d2):   index sets may differ from the XLA path only
+                           by points within f32 rounding of the radius
+                           boundary (<= 1e-5 on |d2 - r^2|)
   three_interpolate:       <= 2e-4 rel (designed 4-pass scheme drops an
                            O(2^-16) term; see _interp3_kernel docstring)
   sa_scale_factored:       <= 5e-2 rel vs HIGHEST-precision reference
@@ -53,6 +57,32 @@ def check(name, err, tol):
 def crash(name, exc):
     print(f"FAIL {name}: {type(exc).__name__}: {exc}"[:300], flush=True)
     FAILURES.append(name)
+
+
+def _emd_f64_oracle(x1, x2, num_iters_pow=7):
+    """float64 numpy transcription of ops.metrics._approx_match +
+    _match_cost (same annealing schedule / epsilons)."""
+    n, m = x1.shape[0], x2.shape[0]
+    d2 = ((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+    big = float(max(n, m))
+    match = np.zeros((n, m))
+    sat_l = np.full((n,), big / n)
+    sat_r = np.full((m,), big / m)
+    levels = np.concatenate(
+        [-np.power(4.0, np.arange(num_iters_pow, -2, -1, dtype=np.float64)),
+         np.zeros((1,))])
+    for level in levels:
+        w = np.exp(level * d2) * sat_r[None, :]
+        w_sum = w.sum(1, keepdims=True) + 1e-9
+        w = w * (sat_l[:, None] / w_sum)
+        col = w.sum(0) + 1e-9
+        scale = np.minimum(sat_r / col, 1.0)
+        w = w * scale[None, :]
+        match = match + w
+        sat_l = np.maximum(sat_l - w.sum(1), 0.0)
+        sat_r = np.maximum(sat_r - w.sum(0), 0.0)
+    d = np.sqrt(np.maximum(d2, 1e-20))
+    return (match * d).sum()
 
 
 def main():
@@ -119,11 +149,15 @@ def main():
                 feats[:, None], idx[..., None].transpose(0, 2, 1, 3), axis=2
             ).transpose(0, 2, 1, 3) * w[..., None], axis=2))
         scale = np.abs(ref).max()
-        for name, fn in (("interp_pallas", three_interpolate_pallas),
-                         ("interp_dense", _three_interpolate_dense)):
+        from caspr_tpu.ops.pallas_kernels import three_interpolate_shuf
+        for name, fn, tol in (
+                ("interp_pallas", three_interpolate_pallas, 2e-4),
+                ("interp_dense", _three_interpolate_dense, 2e-4),
+                # shuf: exact f32 gathers + f32 MAC — f32 rounding only
+                ("interp_shuf", three_interpolate_shuf, 2e-6)):
             try:
                 err = float(np.abs(np.asarray(fn(feats, idx, w)) - ref).max())
-                check(f"{name} M={m} C={c}", err / scale, 2e-4)
+                check(f"{name} M={m} C={c}", err / scale, tol)
             except Exception as e:
                 crash(f"{name} M={m} C={c}", e)
 
@@ -240,44 +274,77 @@ def main():
     except Exception as e:
         crash("chamfer batched vs f64 oracle", e)
 
-    # --- Pallas EMD forward vs the XLA annealed-match composition ---------
+    # --- Pallas EMD forward vs a float64 oracle of the algorithm ----------
+    # The annealed matching is ITERATIVE (10 exp/rescale rounds), so two
+    # faithful implementations legitimately diverge ~1e-4 relative on
+    # ambiguous cloud pairs (r5 probe: pallas-vs-f64 8.3e-5, xla-vs-f64
+    # 6.7e-5 — comparable).  The gated invariant is therefore each
+    # device path's error AGAINST THE F64 ORACLE, with the Pallas kernel
+    # allowed no worse than 2x the XLA composition it replaces.
     try:
         from jax import lax
 
         from caspr_tpu.ops.metrics import (
             _approx_match, _match_cost, _emd_fwd_impl)
-        bb = 6
-        a = jnp.asarray(
-            rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3)
-        c_ = jnp.asarray(
-            rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3)
+        bb = 4
+        a_np = rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3
+        c_np = rng.standard_normal((bb, 2048, 3)).astype(np.float32) * 0.3
+        a, c_ = jnp.asarray(a_np), jnp.asarray(c_np)
         got = np.asarray(_emd_fwd_impl(a, c_), np.float64)
 
         def one(args):
             x1, x2 = args
             return _match_cost(x1, x2, _approx_match(x1, x2))
 
-        ref = np.asarray(lax.map(one, (a, c_)), np.float64)
-        err = float(np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9))
-        # r3 hardware measurement: ~5e-6 relative between the two
-        # compositions (same algorithm, different accumulation order)
-        check("emd pallas vs xla composition", err, 2e-5)
+        xla_v = np.asarray(lax.map(one, (a, c_)), np.float64)
+        ref = np.array([
+            _emd_f64_oracle(a_np[i].astype(np.float64),
+                            c_np[i].astype(np.float64)) for i in range(bb)])
+        sc = max(float(np.abs(ref).max()), 1e-9)
+        e_pl = float(np.abs(got - ref).max() / sc)
+        e_xla = float(np.abs(xla_v - ref).max() / sc)
+        print(f"     emd pallas-vs-f64={e_pl:.3e} xla-vs-f64={e_xla:.3e}",
+              flush=True)
+        check("emd pallas vs f64 oracle", e_pl, max(2.0 * e_xla, 2e-4))
     except Exception as e:
-        crash("emd pallas vs xla composition", e)
+        crash("emd pallas vs f64 oracle", e)
 
-    # --- fused-d2 ball query == XLA d2 path ------------------------------
+    # --- fused-d2 ball query == XLA d2 path (boundary-aware) --------------
+    # Both paths compute d2 at HIGHEST precision, but their f32 rounding
+    # can flip the inclusion of a point sitting AT the radius boundary
+    # (|d2 - r^2| within f32 noise); one flip shifts every later slot of
+    # that row, so raw index identity is data-dependent (r4's stream had
+    # no boundary points; r5's did — 31 slots).  The gated invariant:
+    # the two index SETS per row may differ only by points whose true
+    # (f64) distance is within f32 rounding of the boundary.
     try:
         from caspr_tpu.ops.pointops import ball_query
-        xyz = jnp.asarray(rng.random((8, 1024, 3), dtype=np.float32))
+        radius, kk = 0.2, 32
+        xyz_np = rng.random((8, 1024, 3), dtype=np.float32)
+        xyz = jnp.asarray(xyz_np)
         qry = xyz[:, :256]
         os.environ["CASPR_TPU_FUSED_D2"] = "1"
-        a = np.asarray(ball_query(xyz, qry, 0.2, 32))
+        a = np.asarray(ball_query(xyz, qry, radius, kk))
         os.environ["CASPR_TPU_FUSED_D2"] = "0"
-        b_ = np.asarray(ball_query(xyz, qry, 0.2, 32))
+        b_ = np.asarray(ball_query(xyz, qry, radius, kk))
         os.environ.pop("CASPR_TPU_FUSED_D2")
-        check("ball_query fused-d2", float((a != b_).sum()), 0.0)
+        bad = 0.0
+        n_flips = 0
+        for bi, mi in zip(*np.nonzero((a != b_).any(axis=2))):
+            sa_, sb = set(a[bi, mi].tolist()), set(b_[bi, mi].tolist())
+            for pt in sa_.symmetric_difference(sb):
+                n_flips += 1
+                d2v = ((xyz_np[bi, pt].astype(np.float64)
+                        - xyz_np[bi, mi].astype(np.float64)) ** 2).sum()
+                bad = max(bad, abs(d2v - radius * radius))
+        if n_flips:
+            print(f"     ball_query boundary flips={n_flips} "
+                  f"worst |d2-r2|={bad:.3e}", flush=True)
+        # f32 rounding of an O(1)-coordinate d2 is ~1e-7; anything beyond
+        # 1e-5 from the boundary is a genuine selection error
+        check("ball_query fused-d2 (boundary-aware)", bad, 1e-5)
     except Exception as e:
-        crash("ball_query fused-d2", e)
+        crash("ball_query fused-d2 (boundary-aware)", e)
 
     print(f"\n{'EXACTNESS GATE FAILED: ' + ', '.join(FAILURES) if FAILURES else 'EXACTNESS GATE PASSED'}",
           flush=True)

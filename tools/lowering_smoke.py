@@ -75,7 +75,9 @@ CASES = [
     ("cnf_primal_tile2048", {"CASPR_TPU_CNF_PRIMAL_TILE": "2048"}, "recon"),
     ("fps_level", {"CASPR_TPU_FPS": "level"}, "encode"),
     ("fused_sa2", {"CASPR_TPU_SA": "fused2"}, "encode"),
+    ("fused_sa3", {"CASPR_TPU_SA": "fused3"}, "encode"),
     ("interp_dense", {"CASPR_TPU_INTERP": "dense"}, "encode"),
+    ("interp_shuf", {"CASPR_TPU_INTERP": "shuf"}, "encode"),
 ]
 
 _BASE_ENV = {
