@@ -156,11 +156,11 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 # Progressive kernel-preset fallback: if a Mosaic compile rejects a
 # default kernel on real hardware, the bench must still produce its JSON
 # line — each failure re-execs with the next (previously proven) preset.
-# r4-defaults = the r3 set with hardware-reconciled numerics (mask-based
-# bf16 splits, HIGHEST d2, CNF tile 512), every default validated by
+# r5-defaults = r4 set + the lane-shuffle gather (CASPR_TPU_GATHER=shuf)
+# and the dual-radius ball query, every default validated by
 # tools/hw_exactness.py on the device.
 PRESETS = [
-    ("r4-defaults", {}),
+    ("r5-defaults", {}),
     ("r2-proven", {
         "CASPR_TPU_GATHER": "onehot",
         "CASPR_TPU_FUSED_D2": "0",
@@ -170,7 +170,7 @@ PRESETS = [
 ]
 
 
-def main(preset: str = "r4-defaults"):
+def main(preset: str = "r5-defaults"):
     # test hooks for the fallback chain (no device work): FAIL_BELOW
     # makes earlier presets raise, SMOKE prints a stub record
     try:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..nn import conv1x1, conv1x1_init, group_norm, group_norm_init
 from ..ops import (
     ball_query,
+    ball_query_pair,
     farthest_point_sampling,
     gather_points,
     group_points,
@@ -280,8 +281,19 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
             elif m > n:
                 fps_ordered = False  # repeat-padded: ordering broken
         scale_feats = []
-        for (radius, k, dims), sp in zip(lvl.scales, lvl_params["scales"]):
-            gidx = ball_query(xyz, new_xyz, radius, k)
+        if len(lvl.scales) == 2:
+            # both grouping scales share the centers and sources — the
+            # dual-radius fused kernel computes the (M, N) distances and
+            # prefix sum once (ops.pointops.ball_query_pair)
+            (r1, k1, _), (r2, k2, _) = lvl.scales
+            gidxs = list(ball_query_pair(xyz, new_xyz, r1, k1, r2, k2))
+        else:
+            gidxs = [
+                ball_query(xyz, new_xyz, radius, k)
+                for (radius, k, _) in lvl.scales
+            ]
+        for (radius, k, dims), sp, gidx in zip(
+                lvl.scales, lvl_params["scales"], gidxs):
             impl = _sa_impl(cfg, sp, xyz, new_xyz, k)
             if impl == "factored":
                 from ..ops.sa_fused2 import sa_scale_factored

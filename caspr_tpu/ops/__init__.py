@@ -3,6 +3,7 @@ from .pointops import (
     farthest_point_sampling,
     gather_points,
     ball_query,
+    ball_query_pair,
     group_points,
     three_nn,
     three_interpolate,

@@ -186,15 +186,28 @@ def _extract_first_k(k, n, r2, d2, k_pad):
     """
     rows, n_pad = d2.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
 
     inball = (d2 < r2) & (lane < n)
-    rank = inball.astype(jnp.int32)
+    rank = _lane_prefix_sum(inball.astype(jnp.int32), lane, n_pad)
+    return _slot_extract(k, inball, rank, lane, n_pad, k_pad)
+
+
+def _lane_prefix_sum(x, lane, n_pad):
+    """Inclusive Hillis-Steele prefix sum over the lane axis (int32)."""
     shift = 1
-    while shift < n_pad:  # inclusive prefix sum over the lane axis
-        rolled = pltpu.roll(rank, shift, 1)
-        rank = rank + jnp.where(lane >= shift, rolled, 0)
+    while shift < n_pad:
+        rolled = pltpu.roll(x, shift, 1)
+        x = x + jnp.where(lane >= shift, rolled, 0)
         shift *= 2
+    return x
+
+
+def _slot_extract(k, inball, rank, lane, n_pad, k_pad):
+    """Emit the first-k in-ball lane indices (pad-with-first) given the
+    in-ball mask and its inclusive per-lane rank — two slots per masked
+    row-sum via the disjoint-bit-range packing (see _extract_first_k)."""
+    rows = inball.shape[0]
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (rows, k_pad), 1)
     total = rank[:, n_pad - 1:n_pad]  # (Mb, 1) in-ball count
     first = jnp.min(jnp.where(inball, lane, n_pad), axis=1, keepdims=True)
     first = jnp.where(first == jnp.int32(n_pad), 0, first).astype(jnp.int32)
@@ -228,6 +241,33 @@ def _extract_first_k(k, n, r2, d2, k_pad):
     )
 
 
+def _extract_first_k_pair(k1, r2a, k2, r2b, n, d2, k1_pad, k2_pad):
+    """Both grouping scales of one SA level from ONE distance tile: the
+    two in-ball masks (r2a < r2b) ride a SINGLE packed prefix sum — each
+    mask's running count occupies a disjoint bit range of one int32
+    (counts <= n_pad < 2^shift, so lane-wise addition never carries
+    across ranges) — then each radius runs its own slot extraction.
+    Outputs are identical to two _extract_first_k calls on the same d2.
+    """
+    rows, n_pad = d2.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+    inball1 = (d2 < r2a) & (lane < n)
+    inball2 = (d2 < r2b) & (lane < n)
+    bits = 1
+    while (1 << bits) <= n_pad:  # counts reach n_pad, need strict room
+        bits += 1
+    comb = inball1.astype(jnp.int32) + (
+        inball2.astype(jnp.int32) << bits
+    )
+    comb = _lane_prefix_sum(comb, lane, n_pad)
+    rank1 = jnp.bitwise_and(comb, (1 << bits) - 1)
+    rank2 = jnp.right_shift(comb, bits)
+    return (
+        _slot_extract(k1, inball1, rank1, lane, n_pad, k1_pad),
+        _slot_extract(k2, inball2, rank2, lane, n_pad, k2_pad),
+    )
+
+
 def _first_k_kernel(k, n, r2, d2_ref, idx_ref):
     """Legacy two-step orientation: d2 (1, Mb, N_pad) precomputed by XLA
     (padding = +inf), idx (1, Mb, K_pad) int32 out."""
@@ -240,6 +280,17 @@ def _first_k_fused_kernel(k, n, r2, cent_ref, srct_ref, idx_ref):
     N_pad) transposed source coords; distances computed in-VMEM."""
     d2 = _d2_from_coords(cent_ref[0], srct_ref[0], n)
     idx_ref[0] = _extract_first_k(k, n, r2, d2, idx_ref.shape[2])
+
+
+def _first_k_pair_kernel(k1, r2a, k2, r2b, n, cent_ref, srct_ref,
+                         idx1_ref, idx2_ref):
+    """Dual-radius fused ball query: ONE in-VMEM distance tile + ONE
+    packed prefix sum serve both grouping scales of an SA level (the
+    two-call form recomputes the identical (Mb, N) d2 and runs two full
+    prefix sums — see _extract_first_k_pair)."""
+    d2 = _d2_from_coords(cent_ref[0], srct_ref[0], n)
+    idx1_ref[0], idx2_ref[0] = _extract_first_k_pair(
+        k1, r2a, k2, r2b, n, d2, idx1_ref.shape[2], idx2_ref.shape[2])
 
 
 def _extract_knn3(d2, k_pad):
@@ -506,29 +557,28 @@ def _interp3_shuf_kernel(nblk, nsub, c_pad, ft_ref, idx_ref, w_ref, out_ref):
     columns are EXACT f32 moves and the weighted accumulation runs in
     f32 on the VPU, so this orientation is exact to f32 rounding of the
     3-term sum (the MXU orientation drops an O(2^-18) cross term).
+
+    Loop order is subtile-outer/neighbor/block-inner so only ONE
+    (c_pad, 128) accumulator plus one broadcast index/weight plane is
+    live at a time — the hoisted-planes variant kept 9*nsub planes live
+    and blew the 16 MB VMEM scope at the FP5 shape (C=512, tile 512:
+    24.2M, r5 battery stage 11).
     """
-    accs = [jnp.zeros((c_pad, _LANES), jnp.float32) for _ in range(nsub)]
-    los, his, ws = [], [], []
     for s in range(nsub):
         sl = idx_ref[0, :3, s * _LANES:(s + 1) * _LANES]  # (3, 128)
         wl = w_ref[0, :3, s * _LANES:(s + 1) * _LANES]
-        los.append([jnp.broadcast_to(
-            jax.lax.rem(sl[j:j + 1], _LANES), (c_pad, _LANES))
-            for j in range(3)])
-        his.append([jnp.broadcast_to(
-            jax.lax.div(sl[j:j + 1], _LANES), (c_pad, _LANES))
-            for j in range(3)])
-        ws.append([jnp.broadcast_to(wl[j:j + 1], (c_pad, _LANES))
-                   for j in range(3)])
-    for b in range(nblk):
-        blk = ft_ref[0, :, b * _LANES:(b + 1) * _LANES]  # (C_pad, 128)
-        for s in range(nsub):
-            for j in range(3):
-                g = jnp.take_along_axis(blk, los[s][j], axis=1)
-                accs[s] = jnp.where(
-                    his[s][j] == b, accs[s] + ws[s][j] * g, accs[s])
-    for s in range(nsub):
-        out_ref[0, :, s * _LANES:(s + 1) * _LANES] = accs[s]
+        acc = jnp.zeros((c_pad, _LANES), jnp.float32)
+        for j in range(3):
+            lo = jnp.broadcast_to(
+                jax.lax.rem(sl[j:j + 1], _LANES), (c_pad, _LANES))
+            hi = jnp.broadcast_to(
+                jax.lax.div(sl[j:j + 1], _LANES), (c_pad, _LANES))
+            wj = jnp.broadcast_to(wl[j:j + 1], (c_pad, _LANES))
+            for b in range(nblk):
+                blk = ft_ref[0, :, b * _LANES:(b + 1) * _LANES]
+                g = jnp.take_along_axis(blk, lo, axis=1)
+                acc = jnp.where(hi == b, acc + wj * g, acc)
+        out_ref[0, :, s * _LANES:(s + 1) * _LANES] = acc
 
 
 @jax.jit
@@ -992,6 +1042,52 @@ def _ball_query_fused(xyz, new_xyz, radius: float, num_samples: int):
         out_shape=jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
     )(cent, srct)
     return out[:, :m, :num_samples]
+
+
+def ball_query_pair_pallas(xyz, new_xyz, radius1, k1, radius2, k2):
+    """Both grouping scales of one SA level in one fused kernel:
+    (idx1 (B,M,K1), idx2 (B,M,K2)) == (ball_query(r1,K1),
+    ball_query(r2,K2)) on the same (xyz, new_xyz) — the shared (M, N)
+    distance tile and a packed prefix sum are computed ONCE."""
+    return _ball_query_pair_call(xyz, new_xyz, float(radius1), int(k1),
+                                 float(radius2), int(k2))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _ball_query_pair_call(xyz, new_xyz, radius1, k1, radius2, k2):
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    m_pad = _round_up(m, 8)
+    k1_pad = _round_up(k1, _LANES)
+    k2_pad = _round_up(k2, _LANES)
+    mb = min(m_pad, 256)
+    while m_pad % mb:
+        mb //= 2
+    cent, srct, n_pad = _coord_operands(new_xyz, xyz, m_pad)
+    kernel = functools.partial(
+        _first_k_pair_kernel, k1, radius1 * radius1, k2, radius2 * radius2,
+        n)
+    idx1, idx2 = pl.pallas_call(
+        kernel,
+        grid=(b, m_pad // mb),
+        in_specs=[
+            pl.BlockSpec((1, mb, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, mb, k1_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, k2_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, k1_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, k2_pad), jnp.int32),
+        ],
+    )(cent, srct)
+    return idx1[:, :m, :k1], idx2[:, :m, :k2]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

@@ -170,6 +170,28 @@ def ball_query(xyz, new_xyz, radius: float, num_samples: int):
     return ball_query_xla(xyz, new_xyz, radius, num_samples)
 
 
+def ball_query_pair(xyz, new_xyz, radius1, k1, radius2, k2):
+    """Both grouping scales of one SA level: == (ball_query(r1, k1),
+    ball_query(r2, k2)) on the same (xyz, new_xyz).  On TPU the fused
+    dual-radius kernel computes the shared (M, N) distance tile and one
+    packed prefix sum ONCE (pallas_kernels.ball_query_pair_pallas);
+    CASPR_TPU_BQ_PAIR=0 keeps the two-call form for A/B."""
+    from .pallas_kernels import _fused_d2
+
+    if (
+        _use_pallas()
+        and _fused_d2()
+        and os.environ.get("CASPR_TPU_BQ_PAIR", "1") != "0"
+    ):
+        from .pallas_kernels import ball_query_pair_pallas
+
+        return ball_query_pair_pallas(xyz, new_xyz, radius1, k1, radius2, k2)
+    return (
+        ball_query(xyz, new_xyz, radius1, k1),
+        ball_query(xyz, new_xyz, radius2, k2),
+    )
+
+
 def ball_query_xla(xyz, new_xyz, radius: float, num_samples: int):
     """Indices of the first ``num_samples`` points of ``xyz`` within
     ``radius`` of each centroid, padded with the first hit.
@@ -281,12 +303,14 @@ def three_interpolate(features, idx, weights):
             three_interpolate_vmem_ok,
         )
 
-        # Two Pallas orientations: 'shuf' gathers the three source rows
-        # with exact f32 lane shuffles and accumulates in f32 on the VPU
-        # (r5); 'pallas' builds the interpolation matrix in-VMEM and
-        # rides the MXU with the 4-product bf16 split scheme.
-        # CASPR_TPU_INTERP=dense keeps the XLA path for A/B.
-        mode = os.environ.get("CASPR_TPU_INTERP", "pallas")
+        # Two Pallas orientations: 'shuf' (r5 default) gathers the three
+        # source rows with exact f32 lane shuffles and accumulates in
+        # f32 on the VPU — bit-exact on device AND faster (pointnet2
+        # 184.5 -> 179.0 ms warm, r5 battery stage 22); 'pallas' builds
+        # the interpolation matrix in-VMEM and rides the MXU with the
+        # 4-product bf16 split scheme.  CASPR_TPU_INTERP=dense keeps the
+        # XLA path for A/B.
+        mode = os.environ.get("CASPR_TPU_INTERP", "shuf")
         if mode == "shuf" and can_interp_shuf(m, c):
             return three_interpolate_shuf(features, idx, weights)
         if mode in ("pallas", "shuf") and three_interpolate_vmem_ok(m, c):

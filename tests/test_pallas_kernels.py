@@ -359,3 +359,33 @@ def test_gather_dma_dispatch_falls_back_unaligned(monkeypatch):
         got = np.asarray(gather_rows_pallas(src, idx))  # dma (interpret ok)
     want = np.asarray(jnp.take_along_axis(src, idx[:, :, None], axis=1))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_pair_matches_two_calls_interpret(monkeypatch):
+    """The dual-radius fused kernel must reproduce BOTH single-radius
+    ball queries exactly (same d2 path, shared packed prefix sum)."""
+    from caspr_tpu.ops.pallas_kernels import (
+        ball_query_pair_pallas,
+        ball_query_pallas,
+    )
+
+    rng = np.random.RandomState(21)
+    xyz = jnp.asarray(rng.rand(3, 192, 3).astype(np.float32))
+    new_xyz = xyz[:, :48]
+    r1, k1, r2, k2 = 0.1, 4, 0.25, 8
+    with pltpu.force_tpu_interpret_mode():
+        i1, i2 = ball_query_pair_pallas(xyz, new_xyz, r1, k1, r2, k2)
+        w1 = ball_query_pallas(xyz, new_xyz, r1, k1)
+        w2 = ball_query_pallas(xyz, new_xyz, r2, k2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(w1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(w2))
+
+    # dispatch entry: pair == two XLA singles on CPU fallback
+    from caspr_tpu.ops.pointops import ball_query_pair, ball_query_xla
+
+    monkeypatch.setenv("CASPR_TPU_KERNELS", "xla")
+    a1, a2 = ball_query_pair(xyz, new_xyz, r1, k1, r2, k2)
+    np.testing.assert_array_equal(
+        np.asarray(a1), np.asarray(ball_query_xla(xyz, new_xyz, r1, k1)))
+    np.testing.assert_array_equal(
+        np.asarray(a2), np.asarray(ball_query_xla(xyz, new_xyz, r2, k2)))

@@ -242,6 +242,23 @@ def main():
     except Exception as e:
         crash("fps prefix property", e)
 
+    # --- dual-radius ball query == two single-radius calls ----------------
+    # Same _d2_from_coords path in both kernels, so selections must be
+    # IDENTICAL (no boundary slack needed, unlike the XLA-path check).
+    try:
+        from caspr_tpu.ops.pallas_kernels import (
+            ball_query_pair_pallas, ball_query_pallas)
+        xyzp = jnp.asarray(rng.random((8, 1024, 3), dtype=np.float32))
+        qryp = xyzp[:, :256]
+        i1, i2 = ball_query_pair_pallas(xyzp, qryp, 0.1, 16, 0.25, 32)
+        w1 = ball_query_pallas(xyzp, qryp, 0.1, 16)
+        w2 = ball_query_pallas(xyzp, qryp, 0.25, 32)
+        err = float((np.asarray(i1) != np.asarray(w1)).sum()
+                    + (np.asarray(i2) != np.asarray(w2)).sum())
+        check("ball_query_pair vs singles", err, 0.0)
+    except Exception as e:
+        crash("ball_query_pair vs singles", e)
+
     # --- batched chamfer vs float64 brute-force oracle --------------------
     # These two kernels (chamfer + EMD) DEFINE the reported quality
     # metrics; the r4 verdict flagged that the gate's "every

@@ -77,7 +77,9 @@ CASES = [
     ("fused_sa2", {"CASPR_TPU_SA": "fused2"}, "encode"),
     ("fused_sa3", {"CASPR_TPU_SA": "fused3"}, "encode"),
     ("interp_dense", {"CASPR_TPU_INTERP": "dense"}, "encode"),
-    ("interp_shuf", {"CASPR_TPU_INTERP": "shuf"}, "encode"),
+    # shuf is the r5 default (covered by defaults_encode); the MXU
+    # interpolation-matrix kernel stays dispatchable
+    ("interp_pallas", {"CASPR_TPU_INTERP": "pallas"}, "encode"),
 ]
 
 _BASE_ENV = {
