@@ -668,7 +668,8 @@ def _interp3s_fwd(features, idx, weights):
 three_interpolate_shuf.defvjp(_interp3s_fwd, _interp3_bwd)
 
 
-def _gather_shuf_kernel(nblk, nsub, c_pad, srct_ref, idx_ref, out_ref):
+def _gather_shuf_kernel(nblk, nsub, c_pad, rows_major, srct_ref, idx_ref,
+                        out_ref):
     """Block-decomposed in-VMEM lane-shuffle gather (working formulation).
 
     srct: (1, C_pad, N_pad) transposed source table (channels on
@@ -708,7 +709,14 @@ def _gather_shuf_kernel(nblk, nsub, c_pad, srct_ref, idx_ref, out_ref):
             g = jnp.take_along_axis(blk, los[s], axis=1)
             accs[s] = jnp.where(his[s] == b, g, accs[s])
     for s in range(nsub):
-        out_ref[0, :, s * _LANES:(s + 1) * _LANES] = accs[s]
+        if rows_major:
+            # emit (tile, C_pad) directly — one in-VMEM subtile
+            # transpose replaces the caller's (B, C, R) -> (B, R, C)
+            # HBM moveaxis pass (CASPR_TPU_GATHER_SHUF_ROWS A/B)
+            out_ref[0, s * _LANES:(s + 1) * _LANES, :] = jnp.transpose(
+                accs[s])
+        else:
+            out_ref[0, :, s * _LANES:(s + 1) * _LANES] = accs[s]
 
 
 def _shuf_tile(r_pad: int, c_pad: int) -> int:
@@ -740,8 +748,25 @@ def _gather_rows_shuf_call(src, idx):
     if r_pad != r:
         idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
     tile = _shuf_tile(r_pad, c_pad)
+    rows_major = os.environ.get("CASPR_TPU_GATHER_SHUF_ROWS", "0") == "1"
     kernel = functools.partial(
-        _gather_shuf_kernel, n_pad // _LANES, tile // _LANES, c_pad)
+        _gather_shuf_kernel, n_pad // _LANES, tile // _LANES, c_pad,
+        rows_major)
+    if rows_major:
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, r_pad // tile),
+            in_specs=[
+                pl.BlockSpec((1, c_pad, n_pad), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, c_pad), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, r_pad, c_pad), jnp.float32),
+        )(srct, idx.reshape(b, 1, r_pad))
+        return out[:, :r, :c]
     out = pl.pallas_call(
         kernel,
         grid=(b, r_pad // tile),

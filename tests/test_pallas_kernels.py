@@ -389,3 +389,18 @@ def test_ball_query_pair_matches_two_calls_interpret(monkeypatch):
         np.asarray(a1), np.asarray(ball_query_xla(xyz, new_xyz, r1, k1)))
     np.testing.assert_array_equal(
         np.asarray(a2), np.asarray(ball_query_xla(xyz, new_xyz, r2, k2)))
+
+
+def test_gather_shuf_rows_major_variant_interpret(monkeypatch):
+    """CASPR_TPU_GATHER_SHUF_ROWS=1 emits rows-major directly via
+    in-kernel subtile transposes — must stay bit-exact."""
+    from caspr_tpu.ops.pallas_kernels import _gather_rows_shuf_call
+
+    rng = np.random.RandomState(17)
+    src = jnp.asarray(rng.randn(2, 200, 19).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 200, size=(2, 300)).astype(np.int32))
+    want = np.asarray(jnp.take_along_axis(src, idx[:, :, None], axis=1))
+    monkeypatch.setenv("CASPR_TPU_GATHER_SHUF_ROWS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_gather_rows_shuf_call(src, idx))
+    np.testing.assert_array_equal(got, want)

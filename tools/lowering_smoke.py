@@ -61,6 +61,10 @@ CASES = [
     # tested shape (r3 battery); dispatch now raises ValueError for it.
     # 'shuf' (r5) is its working 128-lane-subtile formulation.
     ("gather_shuf", {"CASPR_TPU_GATHER": "shuf"}, "encode"),
+    # rows-major emission variant: in-kernel subtile transposes replace
+    # the caller's HBM moveaxis (r5 A/B)
+    ("gather_shuf_rows", {"CASPR_TPU_GATHER": "shuf",
+                          "CASPR_TPU_GATHER_SHUF_ROWS": "1"}, "encode"),
     ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
     ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
     ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),
