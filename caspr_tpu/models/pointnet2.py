@@ -224,6 +224,16 @@ def _sa_impl(cfg, sp, xyz, new_xyz, k) -> str:
     return "xla"
 
 
+def _factored_fp() -> bool:
+    """CASPR_TPU_FACTORED_FP=1 (default) applies FP conv1's interp-
+    channel block on the coarse level's points before the 3-NN
+    interpolation (see the call site for the linearity argument);
+    =0 keeps the reference interp-then-concat-then-conv order."""
+    import os
+
+    return os.environ.get("CASPR_TPU_FACTORED_FP", "1") == "1"
+
+
 def _hier_fps() -> bool:
     """CASPR_TPU_FPS=hier (default) collapses the SA cascade's five FPS
     runs into one via the prefix property; =level runs FPS per level like
@@ -346,10 +356,43 @@ def pointnet2_apply(params, cfg: PointNet2Config, points):
         d2, idx = three_nn(q_xyz, s_xyz)
         inv = 1.0 / (d2 + 1e-8)
         w = inv / jnp.sum(inv, axis=-1, keepdims=True)
-        interp = three_interpolate(feat_list[target + 1], idx, w)
+        src = feat_list[target + 1]
         skip = feat_list[target]
-        h = interp if skip is None else jnp.concatenate([interp, skip], -1)
-        feat_list[target] = _unit_pointnet_apply(fp_params, h)
+        conv0 = fp_params["convs"][0]
+        c_src = src.shape[-1]
+        d_out = conv0["weight"].shape[0]
+        if _factored_fp() and d_out <= c_src:
+            # Factored FP conv1 (the factored-fusion trick applied to
+            # feature propagation): 3-NN interpolation is a per-query
+            # linear combination with scalar weights, so it commutes
+            # with the channel matmul —
+            #   conv1(concat([interp(F), skip]))
+            #     == interp(F @ Wi^T) + skip @ Ws^T + b.
+            # The wide interp-channel matmul runs on the COARSE level's
+            # rows (N_src < N_q for every FP level), the interp moves
+            # conv-output channels (never more than C_src under the
+            # d_out <= c_src guard), and the concat HBM round-trip is
+            # deleted.  The reference computes interp-then-concat-then-
+            # conv (reference caspr/models/pointnet2.py:505-519); same
+            # math up to f32 summation order (equivalence + gradient
+            # test in tests/test_models.py).
+            g = conv1x1({"weight": conv0["weight"][:, :c_src]}, src)
+            h = three_interpolate(g, idx, w)
+            if skip is not None:
+                h = h + conv1x1({"weight": conv0["weight"][:, c_src:]}, skip)
+            h = h + conv0["bias"]
+            h = jax.nn.relu(
+                group_norm(fp_params["norms"][0], h, NUM_GROUPS))
+            for conv, norm in zip(fp_params["convs"][1:],
+                                  fp_params["norms"][1:]):
+                h = jax.nn.relu(group_norm(norm, conv1x1(conv, h),
+                                           NUM_GROUPS))
+            feat_list[target] = h
+        else:
+            interp = three_interpolate(src, idx, w)
+            h = interp if skip is None else jnp.concatenate(
+                [interp, skip], -1)
+            feat_list[target] = _unit_pointnet_apply(fp_params, h)
         target -= 1
 
     h = feat_list[0]

@@ -130,6 +130,41 @@ def test_tpointnet2_factored_fusion_matches_dense(monkeypatch):
     )
 
 
+def test_pointnet2_factored_fp_matches_dense(monkeypatch):
+    """Factored FP conv1 (interp-channel weight block applied on the
+    coarse level before the 3-NN interpolation — linearity of the
+    weighted sum) must match the reference interp-then-concat-then-conv
+    order up to f32 summation order, in values and gradients."""
+    cfg = PointNet2Config(sa_points=TINY_SA, ball_samples=TINY_BALLS)
+    p = pointnet2_init(jax.random.PRNGKey(11), cfg)
+    pts = jax.random.normal(jax.random.PRNGKey(12), (2, 32, 9)) * 0.3
+
+    monkeypatch.setenv("CASPR_TPU_FACTORED_FP", "0")
+    want = np.asarray(pointnet2_apply(p, cfg, pts))
+    monkeypatch.setenv("CASPR_TPU_FACTORED_FP", "1")
+    got = np.asarray(pointnet2_apply(p, cfg, pts))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def loss(params, mode):
+        monkeypatch.setenv("CASPR_TPU_FACTORED_FP", mode)
+        return jnp.sum(pointnet2_apply(params, cfg, pts) ** 2)
+
+    g_d = jax.grad(loss)(p, "0")
+    g_f = jax.grad(loss)(p, "1")
+    for fp_d, fp_f in zip(g_d["feature_propagators"],
+                          g_f["feature_propagators"]):
+        np.testing.assert_allclose(
+            np.asarray(fp_f["convs"][0]["weight"]),
+            np.asarray(fp_d["convs"][0]["weight"]),
+            rtol=5e-4, atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fp_f["convs"][0]["bias"]),
+            np.asarray(fp_d["convs"][0]["bias"]),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
 def test_latent_ode_identity_at_t0():
     cfg = LatentODEConfig(input_size=8, hidden_size=16)
     p = dynamics_init(KEY, cfg)
