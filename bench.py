@@ -38,13 +38,15 @@ import jax.numpy as jnp
 
 # throughput batch (saturation point; the reference protocol used 2 on a
 # 16GB V100).  CASPR_BENCH_BATCH overrides for saturation sweeps.
-# r4b sweep on v5e: b16 24.57 / b24 28.41 / b32 29.33 / b48 OOMs the
-# default preset (HBM 17.5G > 15.75G) / b64 OOMs every preset — 32 is
-# the saturation point under the r4 primal-sampling decode.
+# r4b sweep on v5e: b16 24.57 / b24 28.41 / b32 29.33 / b48 OOM / b64 OOM.
+# r5: the lane-shuffle gather deleted the split kernel's 3x bf16 tables,
+# so b48 fits under r5-defaults and is the new saturation point
+# (35.18 seqs/sec vs 33.38 at b32, battery_r5/48 vs 47); b64 still OOMs.
+# The fallback chain retries at b32 if 48 ever OOMs on a tighter-HBM run.
 try:
-    BATCH = int(os.environ.get("CASPR_BENCH_BATCH", "32"))
+    BATCH = int(os.environ.get("CASPR_BENCH_BATCH", "48"))
 except ValueError:
-    BATCH = 32
+    BATCH = 48
 T, N = 10, 2048
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                     "artifacts", "demo_trained.pkl")
@@ -161,12 +163,17 @@ V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
 # tools/hw_exactness.py on the device.
 PRESETS = [
     ("r5-defaults", {}),
+    # same kernels at the pre-r5 saturation batch: the first fallback if
+    # b48 ever OOMs (HBM headroom at b48 is ~1G; tunnel-side allocator
+    # variance could tip it on a bad day)
+    ("r5-defaults-b32", {"CASPR_BENCH_BATCH": "32"}),
     ("r2-proven", {
+        "CASPR_BENCH_BATCH": "32",
         "CASPR_TPU_GATHER": "onehot",
         "CASPR_TPU_FUSED_D2": "0",
         "CASPR_TPU_INTERP": "dense",
     }),
-    ("xla", {"CASPR_TPU_KERNELS": "xla"}),
+    ("xla", {"CASPR_TPU_KERNELS": "xla", "CASPR_BENCH_BATCH": "32"}),
 ]
 
 

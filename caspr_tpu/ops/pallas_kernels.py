@@ -668,8 +668,8 @@ def _interp3s_fwd(features, idx, weights):
 three_interpolate_shuf.defvjp(_interp3s_fwd, _interp3_bwd)
 
 
-def _gather_shuf_kernel(nblk, nsub, c_pad, rows_major, srct_ref, idx_ref,
-                        out_ref):
+def _gather_shuf_kernel(nblk, nsub, c_pad, rows_major, pack_k, srct_ref,
+                        idx_ref, out_ref):
     """Block-decomposed in-VMEM lane-shuffle gather (working formulation).
 
     srct: (1, C_pad, N_pad) transposed source table (channels on
@@ -708,6 +708,19 @@ def _gather_shuf_kernel(nblk, nsub, c_pad, rows_major, srct_ref, idx_ref,
         for s in range(nsub):
             g = jnp.take_along_axis(blk, los[s], axis=1)
             accs[s] = jnp.where(his[s] == b, g, accs[s])
+    if pack_k:
+        # lanes-packed emit: consecutive pack_k gathered rows fold into
+        # the lane dim — out (tile // pack_k, pack_k * C_pad), the layout
+        # the packed SA conv stack consumes (ops/sa_packed.py).  One
+        # in-VMEM transpose + sublane->lane reshape per subtile, one
+        # full-tile store (subtile rows can be < 8 sublanes when
+        # pack_k = 32, so individual stores would be unaligned).
+        pks = [
+            jnp.transpose(accs[s]).reshape(_LANES // pack_k, pack_k * c_pad)
+            for s in range(nsub)
+        ]
+        out_ref[0] = jnp.concatenate(pks, axis=0)
+        return
     for s in range(nsub):
         if rows_major:
             # emit (tile, C_pad) directly — one in-VMEM subtile
@@ -748,10 +761,15 @@ def _gather_rows_shuf_call(src, idx):
     if r_pad != r:
         idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
     tile = _shuf_tile(r_pad, c_pad)
-    rows_major = os.environ.get("CASPR_TPU_GATHER_SHUF_ROWS", "0") == "1"
+    # Default 1 (r5b stage 44 hardware A/B): emitting (tile, C) directly
+    # via in-VMEM subtile transposes beats the HBM moveaxis pass the
+    # channels-major orientation needs — pointnet2 179.6 -> 161.4 ms warm
+    # at B'=160, end-to-end output bit-identical (exact f32 moves either
+    # way).
+    rows_major = os.environ.get("CASPR_TPU_GATHER_SHUF_ROWS", "1") == "1"
     kernel = functools.partial(
         _gather_shuf_kernel, n_pad // _LANES, tile // _LANES, c_pad,
-        rows_major)
+        rows_major, 0)
     if rows_major:
         out = pl.pallas_call(
             kernel,
@@ -781,6 +799,74 @@ def _gather_rows_shuf_call(src, idx):
         out_shape=jax.ShapeDtypeStruct((b, c_pad, r_pad), jnp.float32),
     )(srct, idx.reshape(b, 1, r_pad))
     return jnp.moveaxis(out[:, :c, :r], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_rows_shuf_packed_call(src, idx, k):
+    """Lane-shuffle gather emitting the lanes-packed layout directly:
+    src (B, N, C) f32, idx (B, R) int32 with R % k == 0 ->
+    (B, R // k, k * C) where packed row q holds gathered rows
+    q*k .. q*k+k-1 on consecutive lane groups.
+
+    This is the layout ops/sa_packed.py's conv stack consumes; emitting
+    it from the gather's VMEM epilogue skips both the 128-lane-padded
+    (R, C) HBM round-trip (C = 16..64 at the SA levels pads 2-8x) and
+    the separate repack pass.  Requires C % 8 == 0 and k | 128
+    (subtile rows fold into lanes inside one vreg row group).
+    """
+    b, n, c = src.shape
+    r = idx.shape[1]
+    if c % 8 or _LANES % k or r % k:
+        raise ValueError(
+            f"packed shuf gather needs C % 8 == 0, k | {_LANES}, "
+            f"R % k == 0; got C={c}, k={k}, R={r}")
+    idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
+    n_pad = _round_up(n, _LANES)
+    srct = jnp.moveaxis(src, 1, 2)  # (B, C, N)
+    srct = jnp.pad(srct, ((0, 0), (0, 0), (0, n_pad - n)))
+    r_pad = _round_up(r, _LANES)
+    if r_pad != r:
+        idx = jnp.pad(idx, ((0, 0), (0, r_pad - r)))
+    tile = _shuf_tile(r_pad, c)
+    kernel = functools.partial(
+        _gather_shuf_kernel, n_pad // _LANES, tile // _LANES, c, False, k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, r_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, c, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile // k, k * c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r_pad // k, k * c), jnp.float32),
+    )(srct, idx.reshape(b, 1, r_pad))
+    return out[:, :r // k, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_shuf_packed(src, idx, k):
+    """Differentiable packed-layout gather (see
+    _gather_rows_shuf_packed_call).  VJP scatter-adds the cotangent's
+    unpacked rows back to their source positions — identical adjoint to
+    gather_rows_pallas up to the layout reshape."""
+    return _gather_rows_shuf_packed_call(src, idx, k)
+
+
+def _gather_packed_fwd(src, idx, k):
+    return gather_rows_shuf_packed(src, idx, k), (idx, src.shape)
+
+
+def _gather_packed_bwd(k, res, ct):
+    idx, src_shape = res
+    b, c = src_shape[0], src_shape[2]
+    ct_rows = ct.reshape(b, -1, c)  # (B, R, C): inverse of the lane fold
+    return _gather_rows_bwd((idx, src_shape), ct_rows)
+
+
+gather_rows_shuf_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
 
 
 def can_gather_shuf(n: int, c: int) -> bool:

@@ -160,6 +160,35 @@ def gather_points(points, idx):
     return out.reshape(*idx.shape, c)
 
 
+def gather_points_packed(points, idx):
+    """Gather ball neighborhoods directly into the lanes-packed layout:
+    points (B, N, C), idx (B, M, K) int -> (B, M, K*C), where output row
+    m holds its K gathered neighbor rows on consecutive lane groups.
+
+    This is the input layout of the lanes-packed SA conv stack
+    (ops/sa_packed.py): emitting it straight from the gather kernel's
+    VMEM epilogue skips the 128-lane-padded (B, M, K, C) intermediate
+    (2-8x HBM bytes at the SA levels' C = 16..64) plus the repack pass.
+    Values match gather_points(points, idx).reshape(B, M, K*C) exactly
+    (same f32 row moves, different physical layout).
+    """
+    b, n, c = points.shape
+    m, k = idx.shape[1], idx.shape[2]
+    from .pallas_kernels import can_gather_shuf, gather_rows_shuf_packed
+
+    if (
+        _use_pallas()
+        and points.dtype == jnp.float32
+        and can_gather_shuf(n, c)
+        and c % 8 == 0
+        and 128 % k == 0
+    ):
+        return gather_rows_shuf_packed(points, idx.reshape(b, -1), k)
+    out = jnp.take_along_axis(
+        points, idx.reshape(b, -1)[:, :, None].astype(jnp.int32), axis=1)
+    return out.reshape(b, m, k * c)
+
+
 def ball_query(xyz, new_xyz, radius: float, num_samples: int):
     """Dispatching ball query: Pallas VMEM extraction kernel on TPU, XLA
     top_k elsewhere.  Semantics identical (see ball_query_xla)."""

@@ -464,6 +464,21 @@ def sa_scale_factored(sp, xyz, features, new_xyz, gidx, num_groups=16):
     t = t.reshape(b, n, d1)
     u = _hdot(new_xyz.reshape(b * m, 3), wx).reshape(b, m, d1)
 
+    from .sa_packed import can_pack, sa_stack_packed_flat, stack_mode
+
+    if stack_mode() == "packed" and can_pack(sp):
+        # Lanes-packed conv stack: K folded into the channel dim so the
+        # narrow (d < 128) intermediates skip XLA's minor-dim lane
+        # padding, with the gather emitting the packed layout directly
+        # from its VMEM epilogue (see ops/sa_packed.py).
+        from .pointops import gather_points_packed
+
+        kk = gidx.shape[2]
+        gp = gather_points_packed(t, gidx)         # (B, M, K*d1)
+        hp = (gp - jnp.tile(u, (1, 1, kk))).reshape(b * m, kk * d1)
+        return sa_stack_packed_flat(
+            sp, hp, kk, d1, num_groups).reshape(b, m, -1)
+
     g = gather_points(t, gidx)                     # (B, M, K, d1)
     h = (g - u[:, :, None, :]).reshape(b * m, *g.shape[2:])
     num = len(sp["convs"])

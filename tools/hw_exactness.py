@@ -123,6 +123,57 @@ def main():
         except Exception as e:
             crash(f"gather_shuf N={nn2} C={c2}", e)
 
+    # --- packed-emit shuf gather (lanes-folded layout): bit-exact vs the
+    # row gather reshaped (same f32 moves, different physical layout) ----
+    from caspr_tpu.ops.pallas_kernels import _gather_rows_shuf_packed_call
+    for (nn3, c3, k3) in ((2048, 16, 16), (2048, 32, 32), (1024, 64, 16)):
+        r3 = 1024 * k3
+        src = jnp.asarray(
+            rng.standard_normal((4, nn3, c3), dtype=np.float32) * 4)
+        idx = jnp.asarray(rng.integers(0, nn3, (4, r3)), dtype=jnp.int32)
+        ref = np.asarray(jnp.take_along_axis(
+            src, idx[:, :, None].astype(jnp.int32), axis=1)).reshape(
+                4, r3 // k3, k3 * c3)
+        try:
+            err = float(np.abs(np.asarray(
+                _gather_rows_shuf_packed_call(src, idx, k3)) - ref).max())
+            check(f"gather_shuf_packed C={c3} K={k3}", err, 0.0)
+        except Exception as e:
+            crash(f"gather_shuf_packed C={c3} K={k3}", e)
+
+    # --- lanes-packed SA conv stack vs the row-form loop ----------------
+    from caspr_tpu.models.pointnet2 import _mini_pointnet_init
+    from caspr_tpu.ops.sa_packed import sa_stack_packed
+
+    for (dims, kk) in (((16, 16, 32), 16), ((32, 32, 64), 32)):
+        sp = _mini_pointnet_init(jax.random.PRNGKey(2), 9, dims)
+        h = jnp.asarray(
+            rng.standard_normal((512, kk, dims[0]), dtype=np.float32))
+
+        def _rows_stack(sp, h):
+            from caspr_tpu.models.pointnet2 import group_norm
+
+            x = h
+            for i in range(len(sp["convs"])):
+                if i > 0:
+                    w = jnp.transpose(sp["convs"][i]["weight"])
+                    x = jnp.matmul(
+                        x, w, preferred_element_type=jnp.float32
+                    ) + sp["convs"][i]["bias"]
+                x = group_norm(sp["norms"][i], x, 16)
+                if i < len(sp["convs"]) - 1:
+                    x = jax.nn.relu(x)
+            return jnp.max(x, axis=1)
+
+        try:
+            want = np.asarray(jax.jit(_rows_stack)(sp, h))
+            got = np.asarray(jax.jit(sa_stack_packed)(sp, h))
+            scale = float(np.abs(want).max()) or 1.0
+            err = float(np.abs(got - want).max()) / scale
+            check(f"sa_stack_packed dims={dims}", err, 2e-4)
+        except Exception as e:
+            crash(f"sa_stack_packed dims={dims}", e)
+
     # --- DMA gather at its one legal regime (lane-aligned C) -------------
     from caspr_tpu.ops.pallas_kernels import _gather_rows_dma_call
     src = jnp.asarray(rng.standard_normal((4, 1024, 128), dtype=np.float32))

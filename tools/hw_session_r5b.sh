@@ -52,7 +52,7 @@ run 50 profile_recon 3600 python -u tools/profile_recon.py
 # Final-defaults quality artifact (VERDICT r4 #2 re-run under r5 defaults)
 run 51 eval_final 7200 python -u test.py --data-cfg data/configs/demo.cfg \
   --weights artifacts/demo_trained.pkl --eval-shape-recon-observed \
-  --batch-size 3 --out /tmp/r5b/eval_final
+  --seq-len 10 --num-pts 2048 --batch-size 3 --out /tmp/r5b/eval_final
 if [ -f /tmp/r5b/eval_final/test_log.txt ]; then
   mkdir -p "$DEST/eval_final"
   cp /tmp/r5b/eval_final/test_log.* "$DEST/eval_final/"

@@ -66,6 +66,8 @@ CASES = [
     ("gather_shuf_rows", {"CASPR_TPU_GATHER": "shuf",
                           "CASPR_TPU_GATHER_SHUF_ROWS": "1"}, "encode"),
     ("gather_onehot", {"CASPR_TPU_GATHER": "onehot"}, "encode"),
+    # lanes-packed SA conv stack + packed-emit gather (ops/sa_packed.py)
+    ("sa_stack_packed", {"CASPR_TPU_SA_STACK": "packed"}, "encode"),
     ("sa_bf16_acts", {"CASPR_TPU_SA_BF16_ACTS": "1"}, "encode"),
     ("matmul_cast", {"CASPR_TPU_MATMUL_CAST": "1"}, "recon"),
     # the recon path defaults to the primal-only sampling kernel (r4);

@@ -113,8 +113,23 @@ def main():
     vg = grads_live(model)
     vg_enc = grads_live(enc_model)
 
+    # step donates (params, opt_state, mbn_state) — calling it twice with
+    # the same arrays dereferences deleted buffers (async INVALID_ARGUMENT
+    # at the next sync on axon; r5b battery stage 49 traceback).  Chain the
+    # donated carry through iterations, seeded from private copies so the
+    # closure originals stay live for fwd/vg on the next pass.
+    carry = {
+        "v": (
+            jax.tree_util.tree_map(jnp.copy, params),
+            jax.tree_util.tree_map(jnp.copy, opt_state),
+            jax.tree_util.tree_map(jnp.copy, state),
+        )
+    }
+
     def full(x, tgt, k):
-        p2, o2, s2, m = step(params, opt_state, state, x, tgt, k)
+        p, o, s = carry["v"]
+        p2, o2, s2, m = step(p, o, s, x, tgt, k)
+        carry["v"] = (p2, o2, s2)
         return m["loss"]
 
     for p in range(2):
