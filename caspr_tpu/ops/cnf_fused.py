@@ -597,26 +597,144 @@ def _fused_fwd(params, tc, y, e, matmul_dtype):
 
 
 def _bwd_mode() -> str:
-    """Backward-pass implementation: the XLA composition's vjp (default)
-    or the fused augmented-dynamics kernel (CASPR_TPU_CNF_BWD=pallas).
+    """Backward-pass implementation for the adjoint's per-NFE dynamics
+    VJP: ``manual`` (hand-derived stream-stacked composition, default),
+    ``xla`` (autodiff of the composition), ``pallas`` (fused kernel).
 
-    The kernel is a measured NEGATIVE result at the reference train
-    recipe (BT=25, N=1024 on v5e): 14.4 ms vs the XLA vjp's 11.9 ms per
-    adjoint call, 366.5 vs 266.0 ms on the full train step.  The VMEM
-    budget caps its point tile at 256 lanes (512+ tiles exceed the 16 MB
-    scoped limit carrying the per-layer recompute state plus the
-    weight-grad accumulators), so each of the ~100 grid steps runs
-    MXU-starved matmuls while the XLA composition batches all BT*N rows.
-    Kept opt-in for A/B at other shapes."""
+    ``manual`` exists because the autodiffed forward-over-reverse of
+    jvp(f) emits ~2x the ops of the analytic backward: the primal and
+    Hutchinson-tangent streams share every weight, so their input
+    cotangents, weight gradients and recomputed activations each batch
+    into ONE matmul over rows stacked along the points axis (the same
+    trick the forward kernel plays along lanes).  At the train recipe
+    the dynamics VJP is dispatch/fusion-bound, not FLOP-bound, so
+    halving the op count is the available win.
+
+    The Pallas kernel is a measured NEGATIVE result at the reference
+    train recipe (BT=25, N=1024 on v5e): 14.4 ms vs the XLA vjp's
+    11.9 ms per adjoint call, 366.5 vs 266.0 ms on the full train step.
+    The VMEM budget caps its point tile at 256 lanes (512+ tiles exceed
+    the 16 MB scoped limit carrying the per-layer recompute state plus
+    the weight-grad accumulators), so each of the ~100 grid steps runs
+    MXU-starved matmuls while the XLA composition batches all BT*N
+    rows.  Kept opt-in for A/B at other shapes."""
     mode = os.environ.get("CASPR_TPU_CNF_BWD", "auto")
-    if mode in ("pallas", "xla"):
+    if mode in ("pallas", "xla", "manual"):
         return mode
+    # auto: xla until the manual composition wins its hardware A/B
+    # (tools/hw_session_r5e.sh) — defaults only flip on device evidence
     return "xla"
+
+
+def _mm(w_params, x):
+    """x @ W^T with no bias — routes through nn.linear so the manual
+    backward sees the same matmul precision/cast policy as the forward
+    composition it differentiates."""
+    return linear({"weight": w_params["weight"]}, x)
+
+
+def _manual_dynamics_vjp(params, tc, y, e, ct_dx, ct_div):
+    """Hand-derived VJP of ``_reference_dynamics`` w.r.t. (params, tc, y).
+
+    Forward structure per layer i (h = primal stream, p = Hutchinson
+    tangent stream; g_i, hb_i are the context gate / hyper-bias, constant
+    in y):
+        u_i = h_{i-1} @ W_i^T + b_i      z_i = u_i * g_i + hb_i
+        n_i = p_{i-1} @ W_i^T            r_i = n_i * g_i
+        h_i = softplus(z_i),  p_i = sigmoid(z_i) * r_i   (i < L-1)
+        dx  = z_{L-1},        div = sum(r_{L-1} * e, -1)
+    Both streams share W_i, so the recompute, the input-cotangent
+    backprop and the weight gradient each run as ONE matmul over
+    [h; p] / [a_m; a_n] stacked along the points axis — about half the
+    op count of autodiffing jax.jvp(f).  The tiny context-side graph
+    (sigmoid gates / hyper biases from tc, <0.1% of FLOPs) stays on
+    jax.vjp.  Cotangent w.r.t. e is not computed (the adjoint treats
+    the Hutchinson noise as a constant; caller returns zeros).
+
+    Matches reference caspr/models/odefunc.py:119-138 +
+    diffeq_layers.py:76-90 semantics via _reference_dynamics.
+    """
+    layers = params["layers"]
+    num = len(layers)
+    n_pts = y.shape[1]
+
+    def hyper_of(p_, tc_):
+        gs = tuple(
+            jax.nn.sigmoid(linear(lp["_hyper_gate"], tc_))
+            for lp in p_["layers"]
+        )
+        hbs = tuple(linear(lp["_hyper_bias"], tc_) for lp in p_["layers"])
+        return gs, hbs
+
+    (gs, hbs), hyper_vjp = jax.vjp(hyper_of, params, tc)
+
+    # ---- recompute both streams, one stacked matmul per layer --------
+    hp = jnp.concatenate([y, e], axis=1)  # (BT, 2N, d)
+    hps, us, ns, sigs, rs = [], [], [], [], []
+    for i, lp in enumerate(layers):
+        hps.append(hp)
+        mn = _mm(lp["_layer"], hp)
+        u = mn[:, :n_pts] + lp["_layer"]["bias"]
+        n_ = mn[:, n_pts:]
+        z = u * gs[i][:, None] + hbs[i][:, None]
+        r = n_ * gs[i][:, None]
+        us.append(u)
+        ns.append(n_)
+        rs.append(r)
+        if i < num - 1:
+            s = jax.nn.sigmoid(z)
+            sigs.append(s)
+            # softplus(z) recomputed stably from z, not from s
+            hp = jnp.concatenate([jax.nn.softplus(z), s * r], axis=1)
+
+    # ---- backward ----------------------------------------------------
+    a_z = ct_dx
+    a_r = ct_div[..., None] * e
+    dgs, dhbs = [None] * num, [None] * num
+    dws, dbs = [None] * num, [None] * num
+    for i in range(num - 1, -1, -1):
+        dgs[i] = jnp.sum(a_z * us[i] + a_r * ns[i], axis=1)
+        dhbs[i] = jnp.sum(a_z, axis=1)
+        a_m = a_z * gs[i][:, None]
+        a_n = a_r * gs[i][:, None]
+        dbs[i] = jnp.sum(a_m, axis=(0, 1))
+        amn = jnp.concatenate([a_m, a_n], axis=1)  # (BT, 2N, d_out)
+        # dW in the stored torch (out, in) layout; same default matmul
+        # precision class as the autodiff transpose it replaces
+        dws[i] = jnp.einsum("bro,bri->oi", amn, hps[i])
+        ahp = _mm({"weight": layers[i]["_layer"]["weight"].T}, amn)
+        a_h, a_p = ahp[:, :n_pts], ahp[:, n_pts:]
+        if i > 0:
+            s = sigs[i - 1]
+            a_z = a_h * s + a_p * rs[i - 1] * s * (1.0 - s)
+            a_r = a_p * s
+        else:
+            dy = a_h
+
+    dp, dtc = hyper_vjp((tuple(dgs), tuple(dhbs)))
+    # graft the manual _layer grads into the hyper-side cotangent pytree,
+    # preserving container types so the custom_vjp structure check passes
+    new_layers = []
+    for i, lp in enumerate(dp["layers"]):
+        nl = dict(lp)
+        nlayer = dict(nl["_layer"])
+        nlayer["weight"] = dws[i]
+        if "bias" in nlayer:
+            nlayer["bias"] = dbs[i]
+        nl["_layer"] = nlayer
+        new_layers.append(nl)
+    dp = dict(dp)
+    dp["layers"] = type(params["layers"])(new_layers)
+    return dp, dtc, dy
 
 
 def _fused_bwd(matmul_dtype, res, cts):
     params, tc, y, e = res
-    if _bwd_mode() == "xla":
+    mode = _bwd_mode()
+    if mode == "manual":
+        dp, dtc, dy = _manual_dynamics_vjp(params, tc, y, e, *cts)
+        return dp, dtc, dy, jnp.zeros_like(e)
+    if mode == "xla":
         _, vjp = jax.vjp(
             lambda p, c, yy: _reference_dynamics(p, c, yy, e), params, tc, y
         )

@@ -176,17 +176,21 @@ def gather_points_packed(points, idx):
     m, k = idx.shape[1], idx.shape[2]
     from .pallas_kernels import can_gather_shuf, gather_rows_shuf_packed
 
+    # The packed-EMIT shuf variant is Mosaic-rejected by the backend
+    # compiler (r5c gate: tpu_compile_helper exit 1 at every shape — the
+    # epilogue's sublane->lane fold, transpose + (128, C) -> (128/K, K*C)
+    # reshape, has no vreg relayout).  Opt-in until the epilogue is
+    # redesigned; the default packs via the row gather + an XLA reshape.
     if (
-        _use_pallas()
+        os.environ.get("CASPR_TPU_GATHER_PACKED_EMIT", "0") == "1"
+        and _use_pallas()
         and points.dtype == jnp.float32
         and can_gather_shuf(n, c)
         and c % 8 == 0
         and 128 % k == 0
     ):
         return gather_rows_shuf_packed(points, idx.reshape(b, -1), k)
-    out = jnp.take_along_axis(
-        points, idx.reshape(b, -1)[:, :, None].astype(jnp.int32), axis=1)
-    return out.reshape(b, m, k * c)
+    return gather_points(points, idx).reshape(b, m, k * c)
 
 
 def ball_query(xyz, new_xyz, radius: float, num_samples: int):

@@ -204,6 +204,61 @@ def test_fused_backward_kernel_two_dims(monkeypatch):
         )
 
 
+# ------------------------- manual (stream-stacked) backward ----------------
+
+
+def test_manual_vjp_matches_autodiff():
+    """_manual_dynamics_vjp must reproduce jax.vjp(_reference_dynamics)
+    for params, context and y — same math, stream-stacked matmuls."""
+    from caspr_tpu.ops.cnf_fused import _manual_dynamics_vjp
+
+    for key, bt, n, cfg in (
+        (8, 2, 256, CFG),
+        (9, 3, 200, CNFConfig(input_dim=3, dims=(128, 128), zdim=8)),
+        (10, 1, 64, CNFConfig(input_dim=3, dims=(64, 64, 64, 64), zdim=4)),
+    ):
+        params, tc, y, e = _setup(key=key, bt=bt, n=n, cfg=cfg)
+        kd, kv = jax.random.split(jax.random.PRNGKey(100 + key))
+        ct_dx = jax.random.normal(kd, y.shape)
+        ct_div = jax.random.normal(kv, y.shape[:2])
+
+        _, vjp = jax.vjp(
+            lambda p, c, yy: _reference_dynamics(p, c, yy, e), params, tc, y
+        )
+        want = vjp((ct_dx, ct_div))
+        got = _manual_dynamics_vjp(params, tc, y, e, ct_dx, ct_div)
+        assert (
+            jax.tree_util.tree_structure(got[0])
+            == jax.tree_util.tree_structure(want[0])
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            )
+
+
+def test_manual_backward_end_to_end(monkeypatch):
+    """CASPR_TPU_CNF_BWD=manual grads through the fused custom_vjp match
+    the xla mode, including second-order terms via jnp.sin(div)."""
+    params, tc, y, e = _setup(key=11, bt=2, n=200)
+
+    def loss(p, c, yy):
+        with pltpu.force_tpu_interpret_mode():
+            dx, div = fused_concatsquash_dynamics(p, c, yy, e)
+        return jnp.sum(dx**2) + jnp.sum(jnp.sin(div))
+
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "manual")
+    g_man = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    monkeypatch.setenv("CASPR_TPU_CNF_BWD", "xla")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(params, tc, y)
+    for a, b in zip(jax.tree_util.tree_leaves(g_man),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        )
+
+
 # ------------------------- primal-only (sampling) kernel -------------------
 
 

@@ -124,22 +124,34 @@ def main():
             crash(f"gather_shuf N={nn2} C={c2}", e)
 
     # --- packed-emit shuf gather (lanes-folded layout): bit-exact vs the
-    # row gather reshaped (same f32 moves, different physical layout) ----
-    from caspr_tpu.ops.pallas_kernels import _gather_rows_shuf_packed_call
-    for (nn3, c3, k3) in ((2048, 16, 16), (2048, 32, 32), (1024, 64, 16)):
-        r3 = 1024 * k3
-        src = jnp.asarray(
-            rng.standard_normal((4, nn3, c3), dtype=np.float32) * 4)
-        idx = jnp.asarray(rng.integers(0, nn3, (4, r3)), dtype=jnp.int32)
-        ref = np.asarray(jnp.take_along_axis(
-            src, idx[:, :, None].astype(jnp.int32), axis=1)).reshape(
-                4, r3 // k3, k3 * c3)
-        try:
-            err = float(np.abs(np.asarray(
-                _gather_rows_shuf_packed_call(src, idx, k3)) - ref).max())
-            check(f"gather_shuf_packed C={c3} K={k3}", err, 0.0)
-        except Exception as e:
-            crash(f"gather_shuf_packed C={c3} K={k3}", e)
+    # row gather reshaped (same f32 moves, different physical layout).
+    # NOT default-dispatched: the backend Mosaic compiler rejects the
+    # epilogue's sublane->lane fold (r5c stage 60, exit 1 at every
+    # shape), so pointops gates it on CASPR_TPU_GATHER_PACKED_EMIT=1;
+    # check it only when someone re-arms it. --------------------------
+    if os.environ.get("CASPR_TPU_GATHER_PACKED_EMIT", "0") == "1":
+        from caspr_tpu.ops.pallas_kernels import (
+            _gather_rows_shuf_packed_call)
+        for (nn3, c3, k3) in ((2048, 16, 16), (2048, 32, 32), (1024, 64, 16)):
+            r3 = 1024 * k3
+            src = jnp.asarray(
+                rng.standard_normal((4, nn3, c3), dtype=np.float32) * 4)
+            idx = jnp.asarray(rng.integers(0, nn3, (4, r3)), dtype=jnp.int32)
+            ref = np.asarray(jnp.take_along_axis(
+                src, idx[:, :, None].astype(jnp.int32), axis=1)).reshape(
+                    4, r3 // k3, k3 * c3)
+            try:
+                err = float(np.abs(np.asarray(
+                    _gather_rows_shuf_packed_call(src, idx, k3)) - ref).max())
+                check(f"gather_shuf_packed C={c3} K={k3}", err, 0.0)
+            except Exception as e:
+                crash(f"gather_shuf_packed C={c3} K={k3}", e)
+    else:
+        # keep the RNG stream position stable whether or not the
+        # opt-in branch runs (later checks draw from the same stream)
+        for (nn3, c3, k3) in ((2048, 16, 16), (2048, 32, 32), (1024, 64, 16)):
+            rng.standard_normal((4, nn3, c3), dtype=np.float32)
+            rng.integers(0, nn3, (4, 1024 * k3))
 
     # --- lanes-packed SA conv stack vs the row-form loop ----------------
     from caspr_tpu.models.pointnet2 import _mini_pointnet_init
@@ -166,11 +178,24 @@ def main():
             return jnp.max(x, axis=1)
 
         try:
-            want = np.asarray(jax.jit(_rows_stack)(sp, h))
+            # Two-part check (r5c recalibration): the LAYOUT math is
+            # gated tight under HIGHEST matmuls (both forms reduce to
+            # the same f32 terms — measured 1.9e-7 on device); the
+            # SHIPPED default-precision form is gated loose vs the
+            # HIGHEST reference because GroupNorm amplifies bf16-matmul
+            # rounding on low-variance groups (same rationale and
+            # tolerance as the sa_scale_factored check above; measured
+            # 1.2e-3 at dims=(32,32,64)).
+            with jax.default_matmul_precision("highest"):
+                want_hi = np.asarray(jax.jit(_rows_stack)(sp, h))
+                got_hi = np.asarray(jax.jit(sa_stack_packed)(sp, h))
+            scale = float(np.abs(want_hi).max()) or 1.0
+            err_hi = float(np.abs(got_hi - want_hi).max()) / scale
+            check(f"sa_stack_packed layout (HIGHEST) dims={dims}",
+                  err_hi, 1e-5)
             got = np.asarray(jax.jit(sa_stack_packed)(sp, h))
-            scale = float(np.abs(want).max()) or 1.0
-            err = float(np.abs(got - want).max()) / scale
-            check(f"sa_stack_packed dims={dims}", err, 2e-4)
+            err = float(np.abs(got - want_hi).max()) / scale
+            check(f"sa_stack_packed shipped dims={dims}", err, 5e-2)
         except Exception as e:
             crash(f"sa_stack_packed dims={dims}", e)
 
@@ -269,6 +294,37 @@ def main():
         check("cnf_fused dynamics", err, 1e-3)
     except Exception as e:
         crash("cnf_fused dynamics", e)
+
+    # --- manual (stream-stacked) dynamics VJP vs autodiff on device -------
+    # Pure XLA either way (no Mosaic risk), but the on-device matmul
+    # precision policy differs from CPU — gate where it ships.
+    try:
+        from caspr_tpu.ops.cnf_fused import _manual_dynamics_vjp
+        ct_dx = jnp.asarray(
+            rng.standard_normal((bt, npts, 3), dtype=np.float32))
+        ct_div = jnp.asarray(
+            rng.standard_normal((bt, npts), dtype=np.float32))
+
+        @jax.jit
+        def _auto_vjp(op_, tc_, y_):
+            _, vjp = jax.vjp(
+                lambda p, c, yy: _reference_dynamics(p, c, yy, e),
+                op_, tc_, y_)
+            return vjp((ct_dx, ct_div))
+
+        want = _auto_vjp(op, tc, y)
+        got = jax.jit(
+            lambda p, c, yy: _manual_dynamics_vjp(p, c, yy, e, ct_dx, ct_div)
+        )(op, tc, y)
+        err = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            a, b = np.asarray(a), np.asarray(b)
+            sc = max(float(np.abs(b).max()), 1e-6)
+            err = max(err, float(np.abs(a - b).max()) / sc)
+        check("cnf manual dynamics VJP", err, 2e-3)
+    except Exception as e:
+        crash("cnf manual dynamics VJP", e)
 
     # --- fused primal-only (sampling) dynamics ----------------------------
     try:
@@ -396,20 +452,40 @@ def main():
         os.environ["CASPR_TPU_FUSED_D2"] = "0"
         b_ = np.asarray(ball_query(xyz, qry, radius, kk))
         os.environ.pop("CASPR_TPU_FUSED_D2")
+        # Both impls fill slots in ascending point-index order, so ONE
+        # boundary flip shifts every later slot of that row; on a
+        # SATURATED row (> kk true neighbors) the shift also displaces
+        # the row's last legitimately-inside point — which then shows up
+        # in the symmetric difference far from the boundary.  The gated
+        # invariant is therefore per differing point:
+        #   * within f32 rounding of the boundary (|d2-r2| <= 1e-5): OK
+        #   * strictly INSIDE but excluded by an impl whose row is full
+        #     (kk distinct indices): saturation displacement, OK
+        #   * anything else (outside point included, inside point
+        #     dropped from an unsaturated row): genuine selection error
         bad = 0.0
-        n_flips = 0
+        n_flips = n_sat = 0
+        r2 = radius * radius
         for bi, mi in zip(*np.nonzero((a != b_).any(axis=2))):
             sa_, sb = set(a[bi, mi].tolist()), set(b_[bi, mi].tolist())
             for pt in sa_.symmetric_difference(sb):
-                n_flips += 1
                 d2v = ((xyz_np[bi, pt].astype(np.float64)
                         - xyz_np[bi, mi].astype(np.float64)) ** 2).sum()
-                bad = max(bad, abs(d2v - radius * radius))
-        if n_flips:
+                if abs(d2v - r2) <= 1e-5:
+                    n_flips += 1
+                    continue
+                excl = sb if pt in sa_ else sa_
+                if d2v < r2 and len(excl) == kk:
+                    n_sat += 1
+                    continue
+                bad = max(bad, abs(d2v - r2))
+        if n_flips or n_sat:
             print(f"     ball_query boundary flips={n_flips} "
-                  f"worst |d2-r2|={bad:.3e}", flush=True)
+                  f"saturation displacements={n_sat} "
+                  f"worst unexplained |d2-r2|={bad:.3e}", flush=True)
         # f32 rounding of an O(1)-coordinate d2 is ~1e-7; anything beyond
-        # 1e-5 from the boundary is a genuine selection error
+        # 1e-5 from the boundary (and not a saturation displacement) is a
+        # genuine selection error
         check("ball_query fused-d2 (boundary-aware)", bad, 1e-5)
     except Exception as e:
         crash("ball_query fused-d2 (boundary-aware)", e)
